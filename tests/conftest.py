@@ -1,0 +1,37 @@
+"""Test env: force the CPU backend with 8 virtual devices so sharding paths
+are exercised without real multi-chip hardware (SURVEY.md section 4, item 6).
+
+The image's sitecustomize force-registers the axon TPU platform at
+interpreter boot and overrides JAX_PLATFORMS, so env vars alone don't stick;
+``jax.config.update('jax_platforms', 'cpu')`` after import does (verified in
+this environment). XLA_FLAGS must still be set before jax initializes its
+backends, hence at module import time here.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def smpl_model():
+    from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model
+
+    return synthetic_smpl_model(seed=0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
