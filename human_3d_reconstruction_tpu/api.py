@@ -1,0 +1,83 @@
+"""Public mesh-recovery API — the reference-parity surface.
+
+BASELINE north_star: "Match the reference's public API (image in, SMPL
+theta/beta + mesh + 2D/3D joints out)". One call:
+
+    out = recover_mesh(variables, smpl_params, images)
+
+where `images` are normalized NHWC 224x224 crops. Everything — encoder, IEF
+loop, SMPL decode, weak-perspective projection — runs as ONE jitted device
+program with no host round-trips (north_star requirement). The SMPL decode
+path is selectable: "xla" (pure-JAX twin) or "pallas" (fused kernels).
+
+Reference call-stack twin: demo.py main (SURVEY.md section 3.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.models.hmr import HMRModel, HMROutput
+from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+from human_3d_reconstruction_tpu.utils.geometry import orthographic_project
+
+
+class MeshRecoveryOutput(NamedTuple):
+    """The reference's public outputs (SURVEY.md section 3.2 last line)."""
+
+    theta: jax.Array      # (B, 72) SMPL pose
+    beta: jax.Array       # (B, 10) SMPL shape
+    cam: jax.Array        # (B, 3) weak-perspective camera [s, tx, ty]
+    verts: jax.Array      # (B, 6890, 3) mesh vertices
+    joints3d: jax.Array   # (B, 24, 3) skeleton joints
+    eval_joints3d: jax.Array  # (B, K, 3) regressed eval keypoints
+    joints2d: jax.Array   # (B, K, 2) projected keypoints (crop coords, [-1,1])
+
+
+def decode_params(
+    smpl_params: dict, theta: jax.Array, beta: jax.Array, cam: jax.Array,
+    smpl_path: str = "xla",
+) -> MeshRecoveryOutput:
+    """(theta, beta, cam) -> full mesh-recovery output (pure function)."""
+    if smpl_path == "pallas":
+        from human_3d_reconstruction_tpu.ops.fused_smpl import smpl_forward_fused
+
+        smpl_out = smpl_forward_fused(smpl_params, theta, beta)
+    else:
+        smpl_out = smpl_forward(smpl_params, theta, beta)
+    joints2d = orthographic_project(smpl_out.eval_joints, cam)
+    return MeshRecoveryOutput(
+        theta=theta,
+        beta=beta,
+        cam=cam,
+        verts=smpl_out.verts,
+        joints3d=smpl_out.joints,
+        eval_joints3d=smpl_out.eval_joints,
+        joints2d=joints2d,
+    )
+
+
+def recover_mesh_fn(
+    model: HMRModel,
+    variables: Any,
+    smpl_params: dict,
+    images: jax.Array,
+    smpl_path: str = "xla",
+) -> MeshRecoveryOutput:
+    """Un-jitted body: images (B, 224, 224, 3) -> MeshRecoveryOutput."""
+    net_out: HMROutput = model.apply(variables, images, train=False)
+    return decode_params(smpl_params, net_out.theta, net_out.beta, net_out.cam, smpl_path)
+
+
+def make_recover_mesh(model: HMRModel, smpl_path: str = "xla"):
+    """Build the jitted flagship entry: (variables, smpl_params, images) -> out.
+
+    variables/smpl_params are jit-traced arguments (donated nothing), so one
+    compiled program serves any checkpoint.
+    """
+    fn = partial(recover_mesh_fn, model, smpl_path=smpl_path)
+    return jax.jit(fn)

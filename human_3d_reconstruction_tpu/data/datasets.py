@@ -1,0 +1,334 @@
+"""Dataset adapters and batching.
+
+Reference parity (SURVEY.md section 2 "Dataset loaders", L3): one adapter
+per source — LSP, LSP-extended, MPII, COCO (2D keypoints); MPI-INF-3DHP,
+Human3.6M (3D joints, optionally SMPL/mosh params); plus a Mosh parameter
+source feeding the discriminator. The reference exposes them as torch
+Datasets behind a DataLoader; here each adapter yields plain numpy records
+into a host-side sampler, and ALL geometric work (crop/resize/aug/normalize)
+happens on device via `data.preprocess` — the adapter only decodes.
+
+Record schema (host numpy):
+    image        (H, W, 3) float32 [0, 255]   — decoded frame
+    center       (2,)  box center, px
+    scale        ()    box side, px
+    kp2d         (14, 3) LSP-14 [x, y, vis] in source px
+    joints3d     (14, 3) meters, root-relative, or zeros
+    has_3d       ()     1.0 if joints3d valid
+    theta        (72,), beta (10,)            — SMPL GT (mosh), or zeros
+    has_smpl     ()     1.0 if theta/beta valid
+
+Annotation files: each adapter reads a simple ``.npz`` index (fields below
+per adapter) next to an image directory. Converters from the original
+distribution formats are in ``cli/convert_annotations.py``; this keeps the
+hot path free of h5py/scipy-specific parsing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from human_3d_reconstruction_tpu.data.skeleton import (
+    COCO_TO_LSP14,
+    H36M_TO_LSP14,
+    LSP_TO_LSP14,
+    MPI3DHP_TO_LSP14,
+    MPII_TO_LSP14,
+    NUM_KP,
+    remap_keypoints,
+)
+
+
+@dataclasses.dataclass
+class Record:
+    image: np.ndarray
+    center: np.ndarray
+    scale: np.ndarray
+    kp2d: np.ndarray
+    joints3d: np.ndarray
+    has_3d: np.ndarray
+    theta: np.ndarray
+    beta: np.ndarray
+    has_smpl: np.ndarray
+
+
+def _empty_3d():
+    return np.zeros((NUM_KP, 3), np.float32)
+
+
+def _read_image(path: str | Path) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+
+
+class AnnotationDataset:
+    """Base adapter over an npz index.
+
+    Index fields: image_paths (N,) str; centers (N, 2); scales (N,);
+    keypoints (N, Kn, 3) native order; optional joints3d (N, 17, 3) [m];
+    optional thetas (N, 72), betas (N, 10).
+    """
+
+    name = "base"
+    kp_table: np.ndarray = LSP_TO_LSP14
+    has_3d_gt = False
+    has_smpl_gt = False
+
+    def __init__(self, index_path: str | Path, image_root: Optional[str | Path] = None):
+        self.index_path = Path(index_path)
+        z = np.load(str(index_path), allow_pickle=True)
+        self.image_paths = [str(p) for p in z["image_paths"]]
+        self.centers = z["centers"].astype(np.float32)
+        self.scales = z["scales"].astype(np.float32)
+        self.keypoints = z["keypoints"].astype(np.float32)
+        self.joints3d = z["joints3d"].astype(np.float32) if "joints3d" in z else None
+        self.thetas = z["thetas"].astype(np.float32) if "thetas" in z else None
+        self.betas = z["betas"].astype(np.float32) if "betas" in z else None
+        self.image_root = Path(image_root) if image_root else self.index_path.parent
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, i: int) -> Record:
+        kp = remap_keypoints(self.keypoints[i], self.kp_table)
+        j3d = _empty_3d()
+        has_3d = np.float32(0.0)
+        if self.has_3d_gt and self.joints3d is not None:
+            # 3D joints carry xyz (no vis column): plain gather + centering.
+            j3d = self.joints3d[i][self.kp3d_table]
+            j3d = (j3d - j3d.mean(axis=0, keepdims=True)).astype(np.float32)
+            has_3d = np.float32(1.0)
+        theta = self.thetas[i] if (self.has_smpl_gt and self.thetas is not None) else np.zeros(72, np.float32)
+        beta = self.betas[i] if (self.has_smpl_gt and self.betas is not None) else np.zeros(10, np.float32)
+        has_smpl = np.float32(1.0 if (self.has_smpl_gt and self.thetas is not None) else 0.0)
+        return Record(
+            image=_read_image(self.image_root / self.image_paths[i]),
+            center=self.centers[i],
+            scale=self.scales[i],
+            kp2d=kp,
+            joints3d=j3d,
+            has_3d=has_3d,
+            theta=np.asarray(theta, np.float32),
+            beta=np.asarray(beta, np.float32),
+            has_smpl=has_smpl,
+        )
+
+
+class LSPDataset(AnnotationDataset):
+    name = "lsp"
+    kp_table = LSP_TO_LSP14
+
+
+class LSPExtendedDataset(AnnotationDataset):
+    name = "lsp_ext"
+    kp_table = LSP_TO_LSP14
+
+
+class MPIIDataset(AnnotationDataset):
+    name = "mpii"
+    kp_table = MPII_TO_LSP14
+
+
+class COCODataset(AnnotationDataset):
+    name = "coco"
+    kp_table = COCO_TO_LSP14
+
+
+class Human36MDataset(AnnotationDataset):
+    name = "h36m"
+    kp_table = H36M_TO_LSP14
+    kp3d_table = H36M_TO_LSP14
+    has_3d_gt = True
+    has_smpl_gt = True  # mosh fits, when present in the index
+
+
+class MPIInf3DHPDataset(AnnotationDataset):
+    name = "mpi_inf_3dhp"
+    kp_table = MPI3DHP_TO_LSP14
+    kp3d_table = MPI3DHP_TO_LSP14
+    has_3d_gt = True
+
+
+DATASET_REGISTRY = {
+    c.name: c
+    for c in (
+        LSPDataset,
+        LSPExtendedDataset,
+        MPIIDataset,
+        COCODataset,
+        Human36MDataset,
+        MPIInf3DHPDataset,
+    )
+}
+
+
+class MoshParamSource:
+    """(theta, beta) prior pool for the discriminator (reference: Mosh'd CMU).
+
+    Reads npz with thetas (N, 72), betas (N, 10); `sample(rng, n)` returns a
+    batch. Without a real mosh file, `synthetic(rng)` builds a pool of
+    smooth plausible poses (small axis-angle magnitudes, upright root).
+    """
+
+    def __init__(self, thetas: np.ndarray, betas: np.ndarray):
+        self.thetas = thetas.astype(np.float32)
+        self.betas = betas.astype(np.float32)
+
+    @classmethod
+    def from_npz(cls, path: str | Path) -> "MoshParamSource":
+        z = np.load(str(path))
+        return cls(z["thetas"], z["betas"])
+
+    @classmethod
+    def synthetic(cls, rng: np.random.Generator, n: int = 4096) -> "MoshParamSource":
+        thetas = rng.normal(scale=0.25, size=(n, 72)).astype(np.float32)
+        thetas[:, :3] = rng.normal(scale=0.1, size=(n, 3))  # near-upright root
+        betas = rng.normal(scale=0.8, size=(n, 10)).astype(np.float32)
+        return cls(thetas, betas)
+
+    def sample(self, rng: np.random.Generator, n: int) -> tuple[np.ndarray, np.ndarray]:
+        idx = rng.integers(0, len(self.thetas), size=n)
+        return self.thetas[idx], self.betas[idx]
+
+
+class SyntheticImageDataset:
+    """Procedural dataset for tests/smoke-training (no real data in image).
+
+    Generates deterministic (image, kp2d, joints3d, theta, beta) tuples from
+    the synthetic SMPL model: pose/shape are sampled, 3D joints come from
+    the model, 2D keypoints are a weak-perspective projection mapped into a
+    fake frame; the "image" is structured noise keyed by the sample index
+    so a network can overfit a fixed batch (SURVEY.md section 4 item 5).
+    """
+
+    name = "synthetic"
+    has_3d_gt = True
+    has_smpl_gt = True
+
+    def __init__(self, smpl_model, n: int = 64, frame_hw=(256, 256), seed: int = 0):
+        import jax.numpy as jnp
+
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+
+        rng = np.random.default_rng(seed)
+        self.n = n
+        self.frame_hw = frame_hw
+        self.thetas = rng.normal(scale=0.3, size=(n, 72)).astype(np.float32)
+        self.betas = rng.normal(scale=0.8, size=(n, 10)).astype(np.float32)
+        out = smpl_forward(
+            {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()},
+            jnp.asarray(self.thetas),
+            jnp.asarray(self.betas),
+        )
+        # 14-kp subset of eval joints (first 14 of cocoplus ordering).
+        self.joints3d = np.asarray(out.eval_joints[:, :NUM_KP])
+        self.joints3d -= self.joints3d.mean(axis=1, keepdims=True)
+        H, W = frame_hw
+        self.centers = np.tile(np.array([[W / 2, H / 2]], np.float32), (n, 1))
+        self.scales = np.full((n,), min(H, W) * 0.8, np.float32)
+        # 2D kp: project with a fixed camera into the box.
+        cam_s = 0.9
+        xy = self.joints3d[:, :, :2] * cam_s  # [-1,1] crop units
+        self.kp2d_px = self.centers[:, None] + xy * (self.scales[:, None, None] / 2.0)
+        self.rng_images = np.random.default_rng(seed + 1)
+        self._image_cache: dict[int, np.ndarray] = {}
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> Record:
+        if i not in self._image_cache:
+            r = np.random.default_rng(1000 + i)
+            H, W = self.frame_hw
+            self._image_cache[i] = r.uniform(0, 255, (H, W, 3)).astype(np.float32)
+        kp = np.concatenate(
+            [self.kp2d_px[i], np.ones((NUM_KP, 1), np.float32)], axis=1
+        )
+        return Record(
+            image=self._image_cache[i],
+            center=self.centers[i],
+            scale=self.scales[i],
+            kp2d=kp,
+            joints3d=self.joints3d[i],
+            has_3d=np.float32(1.0),
+            theta=self.thetas[i],
+            beta=self.betas[i],
+            has_smpl=np.float32(1.0),
+        )
+
+
+@dataclasses.dataclass
+class Batch:
+    """Host-side batch, ready for device upload + on-device preprocess."""
+
+    images: np.ndarray    # (B, H, W, 3) [0,255]
+    centers: np.ndarray   # (B, 2)
+    scales: np.ndarray    # (B,)
+    kp2d: np.ndarray      # (B, 14, 3) source px + vis
+    joints3d: np.ndarray  # (B, 14, 3)
+    has_3d: np.ndarray    # (B,)
+    theta: np.ndarray     # (B, 72)
+    beta: np.ndarray      # (B, 10)
+    has_smpl: np.ndarray  # (B,)
+
+
+def collate(records: Sequence[Record]) -> Batch:
+    """Stack records; images are padded to the max H/W in the batch so the
+    device program sees one static shape per bucket."""
+    H = max(r.image.shape[0] for r in records)
+    W = max(r.image.shape[1] for r in records)
+    imgs = np.zeros((len(records), H, W, 3), np.float32)
+    for i, r in enumerate(records):
+        h, w = r.image.shape[:2]
+        imgs[i, :h, :w] = r.image
+    stack = lambda f: np.stack([getattr(r, f) for r in records])
+    return Batch(
+        images=imgs,
+        centers=stack("center"),
+        scales=stack("scale"),
+        kp2d=stack("kp2d"),
+        joints3d=stack("joints3d"),
+        has_3d=stack("has_3d"),
+        theta=stack("theta"),
+        beta=stack("beta"),
+        has_smpl=stack("has_smpl"),
+    )
+
+
+class MixedLoader:
+    """Uniformly mixes several datasets, yielding collated batches forever.
+
+    The reference concatenates datasets and shuffles (ConcatDataset +
+    DataLoader); sampling ratios are configurable here because HMR's
+    training recipe weights 2D vs 3D sources.
+    """
+
+    def __init__(
+        self,
+        datasets: Sequence,
+        batch_size: int,
+        weights: Optional[Sequence[float]] = None,
+        seed: int = 0,
+    ):
+        assert datasets, "need at least one dataset"
+        self.datasets = list(datasets)
+        self.batch_size = batch_size
+        w = np.asarray(weights if weights is not None else [1.0] * len(datasets), np.float64)
+        self.weights = w / w.sum()
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[Batch]:
+        while True:
+            recs = []
+            for _ in range(self.batch_size):
+                d = self.datasets[self.rng.choice(len(self.datasets), p=self.weights)]
+                recs.append(d[int(self.rng.integers(0, len(d)))])
+            yield collate(recs)

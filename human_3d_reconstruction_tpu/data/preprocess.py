@@ -1,0 +1,180 @@
+"""On-device image preprocessing: crop / resize / rotate / flip / normalize.
+
+One primitive does all the geometry: `affine_crop` samples the source image
+through an inverse affine map (center/scale/rotation/flip) with bilinear
+interpolation, producing a fixed-size crop. It is pure gather + FMA math —
+jit/vmap/grad-friendly, static output shape, no host round-trips — so the
+whole "N person boxes -> N normalized crops" stage (BASELINE configs 3/5)
+is a single device program fused into the encoder's program.
+
+Reference parity: replaces the reference's host-side cv2 crop/resize/warp
+utilities (`crop`, `flip_kp`, `transform` — SURVEY.md section 2 "Dataset
+loaders"); the keypoint-side transform is `transform_keypoints`, the exact
+inverse of the image-side map, so image and annotations stay aligned.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+CROP_SIZE = 224
+# ImageNet-style normalization is NOT used by the HMR family; the reference
+# normalizes to [-1, 1] (pixel/255 * 2 - 1). Kept as the default here.
+PIXEL_SCALE = 2.0 / 255.0
+PIXEL_BIAS = -1.0
+
+
+def _crop_to_source_matrix(
+    center: jax.Array, scale: jax.Array, rot: jax.Array, flip: jax.Array, out_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """Inverse map: crop pixel (x, y) -> source pixel, as (2x2 M, 2 t).
+
+    The crop covers a source square of side `scale` (pixels) centered at
+    `center`, rotated by `rot` radians, optionally mirrored horizontally.
+    """
+    s = scale / out_size  # source pixels per crop pixel
+    cos_r = jnp.cos(rot)
+    sin_r = jnp.sin(rot)
+    fx = jnp.where(flip > 0, -1.0, 1.0)
+    # Column-action matrix: src = M @ (crop - out_size/2) + center
+    M = s * jnp.stack(
+        [
+            jnp.stack([cos_r * fx, -sin_r]),
+            jnp.stack([sin_r * fx, cos_r]),
+        ]
+    )  # (2, 2)
+    t = center  # (2,)
+    return M, t
+
+
+def _bilinear_gather(image: jax.Array, sx: jax.Array, sy: jax.Array) -> jax.Array:
+    """Sample image (H, W, C) at float coords (sx, sy), zero padding outside."""
+    H, W = image.shape[0], image.shape[1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        v = image[yi_c, xi_c]  # gather: (h, w, C)
+        return v * valid[..., None].astype(image.dtype)
+
+    top = tap(y0, x0) * (1 - wx)[..., None] + tap(y0, x0 + 1) * wx[..., None]
+    bot = tap(y0 + 1, x0) * (1 - wx)[..., None] + tap(y0 + 1, x0 + 1) * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+def affine_crop(
+    image: jax.Array,
+    center: jax.Array,
+    scale: jax.Array,
+    rot: jax.Array | float = 0.0,
+    flip: jax.Array | float = 0.0,
+    out_size: int = CROP_SIZE,
+) -> jax.Array:
+    """Crop-with-augmentation by inverse affine sampling.
+
+    Args:
+        image:  (H, W, C) float source image (any range; passthrough).
+        center: (2,) [cx, cy] person-box center in source pixels.
+        scale:  () box side length in source pixels (square crop).
+        rot:    () in-plane rotation (radians, augmentation).
+        flip:   () >0 mirrors horizontally (augmentation).
+        out_size: static crop resolution.
+
+    Returns:
+        (out_size, out_size, C) float crop, zero-padded outside the source.
+    """
+    image = jnp.asarray(image, dtype=jnp.float32)
+    center = jnp.asarray(center, dtype=jnp.float32)
+    scale = jnp.asarray(scale, dtype=jnp.float32)
+    rot = jnp.asarray(rot, dtype=jnp.float32)
+    flip = jnp.asarray(flip, dtype=jnp.float32)
+
+    M, t = _crop_to_source_matrix(center, scale, rot, flip, out_size)
+    # Crop-pixel grid, centered.
+    ys = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 0) - out_size / 2 + 0.5
+    xs = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 1) - out_size / 2 + 0.5
+    sx = M[0, 0] * xs + M[0, 1] * ys + t[0]
+    sy = M[1, 0] * xs + M[1, 1] * ys + t[1]
+    return _bilinear_gather(image, sx, sy)
+
+
+def transform_keypoints(
+    keypoints: jax.Array,
+    center: jax.Array,
+    scale: jax.Array,
+    rot: jax.Array | float = 0.0,
+    flip: jax.Array | float = 0.0,
+    flip_map: Optional[jax.Array] = None,
+    out_size: int = CROP_SIZE,
+) -> jax.Array:
+    """Map source-pixel keypoints (K, 2) into normalized crop coords [-1, 1].
+
+    Exact inverse of `affine_crop`'s image map, so kp/image stay aligned
+    under any augmentation. `flip_map` is the left/right joint permutation
+    applied when `flip > 0` (reference's `flip_kp`).
+    """
+    kp = jnp.asarray(keypoints, dtype=jnp.float32)
+    center = jnp.asarray(center, dtype=jnp.float32)
+    scale = jnp.asarray(scale, dtype=jnp.float32)
+    rot = jnp.asarray(rot, dtype=jnp.float32)
+    flip = jnp.asarray(flip, dtype=jnp.float32)
+
+    d = kp - center
+    cos_r = jnp.cos(-rot)
+    sin_r = jnp.sin(-rot)
+    # Inverse rotation, then inverse flip, then scale to crop units.
+    x = cos_r * d[:, 0] - sin_r * d[:, 1]
+    y = sin_r * d[:, 0] + cos_r * d[:, 1]
+    fx = jnp.where(flip > 0, -1.0, 1.0)
+    x = x * fx
+    crop_xy = jnp.stack([x, y], axis=1) / (scale / 2.0)  # [-1, 1] over the box
+
+    if flip_map is not None:
+        flipped = crop_xy[flip_map]
+        crop_xy = jnp.where(flip > 0, flipped, crop_xy)
+    return crop_xy
+
+
+def normalize_image(images: jax.Array) -> jax.Array:
+    """uint8/float [0, 255] -> float32 [-1, 1] (reference's convention)."""
+    return jnp.asarray(images, dtype=jnp.float32) * PIXEL_SCALE + PIXEL_BIAS
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def preprocess_crops(
+    images: jax.Array,
+    centers: jax.Array,
+    scales: jax.Array,
+    rots: Optional[jax.Array] = None,
+    flips: Optional[jax.Array] = None,
+    out_size: int = CROP_SIZE,
+) -> jax.Array:
+    """Batched on-device preprocessing: N boxes -> N normalized crops.
+
+    Args:
+        images:  (N, H, W, C) raw frames in [0, 255] (one per box — for the
+                 multi-person single-frame path, broadcast the frame first;
+                 XLA keeps it as one buffer).
+        centers: (N, 2), scales: (N,), rots/flips: (N,) optional.
+
+    Returns:
+        (N, out_size, out_size, C) normalized crops in [-1, 1].
+    """
+    N = images.shape[0]
+    rots = jnp.zeros((N,), jnp.float32) if rots is None else rots
+    flips = jnp.zeros((N,), jnp.float32) if flips is None else flips
+    crops = jax.vmap(partial(affine_crop, out_size=out_size))(
+        images, centers, scales, rots, flips
+    )
+    return normalize_image(crops)

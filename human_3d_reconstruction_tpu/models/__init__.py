@@ -1,0 +1,22 @@
+"""Network components: encoder, iterative regressor, adversarial prior.
+
+Reference parity (SURVEY.md section 2): ResNet-50 encoder -> 2048-d feature
+-> 3-iteration IEF regressor -> (theta 72, beta 10, cam 3); discriminator
+over (theta, beta) for adversarial training.
+"""
+
+from human_3d_reconstruction_tpu.models.resnet import ResNet50, ResNetConfig
+from human_3d_reconstruction_tpu.models.regressor import IEFRegressor, NUM_SMPL_PARAMS
+from human_3d_reconstruction_tpu.models.hmr import HMRModel, HMRConfig, HMROutput
+from human_3d_reconstruction_tpu.models.discriminator import SMPLDiscriminator
+
+__all__ = [
+    "ResNet50",
+    "ResNetConfig",
+    "IEFRegressor",
+    "NUM_SMPL_PARAMS",
+    "HMRModel",
+    "HMRConfig",
+    "HMROutput",
+    "SMPLDiscriminator",
+]

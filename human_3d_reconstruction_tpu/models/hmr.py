@@ -1,0 +1,66 @@
+"""HMR model: encoder + IEF regressor -> SMPL params (+ mesh via smpl/).
+
+Reference parity: `HMRNetBase.forward(img) -> per-iteration (theta, beta,
+cam)` (SURVEY.md section 2 "Encoder"/"IEF regressor", call stack 3.2). The
+mesh/joint decode is kept OUT of the nn.Module — it is a pure function of
+(theta, beta) — so the same network serves training (needs per-iteration
+params) and inference (needs only the last), and the SMPL decode can swap
+between the XLA and Pallas paths without touching network code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.models.regressor import (
+    IEFRegressor,
+    split_params,
+)
+from human_3d_reconstruction_tpu.models.resnet import ResNet50, ResNetConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class HMRConfig:
+    num_iterations: int = 3
+    hidden_size: int = 1024
+    encoder_dtype: Any = jnp.float32  # bf16 for max throughput
+    dropout_rate: float = 0.0
+
+
+class HMROutput(NamedTuple):
+    theta: jax.Array        # (B, 72) final pose
+    beta: jax.Array         # (B, 10) final shape
+    cam: jax.Array          # (B, 3) final weak-perspective camera
+    all_params: jax.Array   # (T, B, 85) every IEF iteration (training loss)
+    features: jax.Array     # (B, 2048) encoder feature
+
+
+class HMRModel(nn.Module):
+    """Image crop (B, 224, 224, 3, NHWC, normalized) -> SMPL params."""
+
+    config: HMRConfig = HMRConfig()
+    mean_params: Optional[jnp.ndarray] = None
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> HMROutput:
+        cfg = self.config
+        features = ResNet50(
+            config=ResNetConfig(dtype=cfg.encoder_dtype), name="encoder"
+        )(images, train=train)
+        all_params = IEFRegressor(
+            num_iterations=cfg.num_iterations,
+            hidden_size=cfg.hidden_size,
+            dropout_rate=cfg.dropout_rate,
+            mean_params=self.mean_params,
+            name="regressor",
+        )(features, train=train)
+
+        theta, beta, cam = split_params(all_params[-1])
+        return HMROutput(
+            theta=theta, beta=beta, cam=cam, all_params=all_params, features=features
+        )

@@ -25,8 +25,26 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from human_3d_reconstruction_tpu.smpl.model_file import NUM_JOINTS
+from human_3d_reconstruction_tpu.smpl.model_file import NUM_JOINTS, SMPL_PARENTS
 from human_3d_reconstruction_tpu.utils.geometry import rodrigues
+
+
+def resolve_parents(params: dict, parents=None) -> list[int]:
+    """Static kinematic-tree parents for the unrolled chain.
+
+    The tree is model *topology*, not data — it must be concrete at trace
+    time. Resolution order: explicit `parents` arg > concrete
+    params["kintree_parents"] > the canonical SMPL tree (used when the
+    params dict is a traced jit argument; every published SMPL model file
+    uses this exact tree, and `load_smpl_model` preserves the stored one
+    for callers who pass it explicitly).
+    """
+    if parents is not None:
+        return [int(p) for p in parents]
+    kp = params.get("kintree_parents")
+    if kp is not None and not isinstance(kp, jax.core.Tracer):
+        return [int(p) for p in jax.device_get(kp)]
+    return [int(p) for p in SMPL_PARENTS]
 
 
 class SMPLOutput(NamedTuple):
@@ -139,15 +157,17 @@ def smpl_forward(
     pose: jax.Array,
     betas: jax.Array,
     trans: Optional[jax.Array] = None,
+    parents: Optional[Sequence[int]] = None,
 ) -> SMPLOutput:
     """Full SMPL forward, batched.
 
     Args:
-        params: dict from ``SMPLModel.as_dict()`` (device or host arrays);
-            ``kintree_parents`` must be a concrete (non-traced) array.
+        params: dict from ``SMPLModel.as_dict()`` (device or host arrays;
+            may be a traced jit argument — see `resolve_parents`).
         pose:  (B, 72) or (B, 24, 3) axis-angle, root first.
         betas: (B, num_betas) shape coefficients.
         trans: optional (B, 3) global translation added to verts and joints.
+        parents: optional static kinematic tree override.
 
     Returns:
         SMPLOutput, all float32.
@@ -157,7 +177,7 @@ def smpl_forward(
     posedirs = _f32(params["posedirs"])            # (V, 3, P)
     J_regressor = _f32(params["J_regressor"])      # (J, V)
     weights = _f32(params["weights"])              # (V, J)
-    parents = [int(p) for p in jax.device_get(params["kintree_parents"])]
+    parents = resolve_parents(params, parents)
 
     pose = _f32(pose).reshape(pose.shape[0], NUM_JOINTS, 3)
     betas = _f32(betas)
