@@ -1,0 +1,130 @@
+"""Driver benchmark: mesh-recovery throughput on one TPU chip vs torch-CPU.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+- value: frames/sec of the flagship jitted image->mesh program (preprocess
+  + ResNet-50 + IEF x3 + SMPL decode + projection) on the real chip.
+- vs_baseline: ratio over the torch-CPU reference pipeline on this host
+  (the BASELINE.json denominator; its measurement is cached in
+  benchmarks/cpu_baseline.json because it is slow and host-stable).
+
+Extra context (p50 latency, batch sweep) goes to stderr so the stdout
+contract stays a single JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BATCH = 64
+CPU_BASELINE_CACHE = REPO / "benchmarks" / "cpu_baseline.json"
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_cpu_baseline(smpl_model) -> float:
+    if CPU_BASELINE_CACHE.exists():
+        cached = json.loads(CPU_BASELINE_CACHE.read_text())
+        log(f"cpu baseline (cached): {cached['images_per_sec']:.2f} img/s")
+        return float(cached["images_per_sec"])
+    from benchmarks.torch_reference import measure_cpu_baseline
+
+    log("measuring torch-CPU reference baseline (one-time)...")
+    ips = measure_cpu_baseline(smpl_model, batch_size=8, repeats=5)
+    CPU_BASELINE_CACHE.write_text(
+        json.dumps({"images_per_sec": ips, "batch_size": 8, "note": "torch-CPU TorchHMR eval"})
+    )
+    log(f"cpu baseline (measured): {ips:.2f} img/s")
+    return ips
+
+
+def main() -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from human_3d_reconstruction_tpu.api import make_recover_mesh
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+    from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel
+    from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model
+
+    smpl_model = synthetic_smpl_model(seed=0)
+    cpu_ips = get_cpu_baseline(smpl_model)
+
+    log(f"devices: {jax.devices()}")
+    model = HMRModel(config=HMRConfig())
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+    recover = make_recover_mesh(model)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 255, (BATCH, 256, 256, 3)).astype(np.float32))
+    centers = jnp.tile(jnp.asarray([[128.0, 128.0]]), (BATCH, 1))
+    scales = jnp.full((BATCH,), 200.0)
+
+    def pipeline(x):
+        crops = preprocess_crops(x, centers, scales)
+        return recover(variables, smpl_params, crops)
+
+    def sync(out) -> float:
+        # On the tunneled axon platform block_until_ready can return before
+        # execution completes (measured: 0.5 ms/step "throughput" for a
+        # 36 ms program). A scalar device->host readback cannot lie.
+        return float(out.verts.sum())
+
+    # Warmup/compile.
+    t0 = time.perf_counter()
+    sync(pipeline(frames))
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+    for _ in range(3):
+        sync(pipeline(frames))
+
+    # Throughput (readback-synced each step).
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sync(pipeline(frames))
+    dt = (time.perf_counter() - t0) / reps
+    tpu_ips = BATCH / dt
+    log(f"throughput: {tpu_ips:.0f} img/s (batch {BATCH}, {dt*1e3:.1f} ms/step)")
+
+    # p50 single-image latency (batch-1 program).
+    img1 = frames[:1]
+    c1, s1 = centers[:1], scales[:1]
+
+    def one():
+        crops = preprocess_crops(img1, c1, s1)
+        return recover(variables, smpl_params, crops)
+
+    sync(one())
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        sync(one())
+        lats.append(time.perf_counter() - t0)
+    p50 = sorted(lats)[len(lats) // 2]
+    log(f"p50 per-image latency (batch 1): {p50*1e3:.2f} ms")
+
+    print(
+        json.dumps(
+            {
+                "metric": "mesh_recovery_throughput",
+                "value": round(tpu_ips, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(tpu_ips / cpu_ips, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

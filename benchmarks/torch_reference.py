@@ -1,0 +1,119 @@
+"""Torch-CPU reference mesh-recovery pipeline — the baseline denominator.
+
+BASELINE.md: "the build session must measure the torch-CPU reference
+baseline itself ... and record it as the denominator for the 5x target."
+The reference repo's code is unavailable (empty mount, SURVEY.md section 0),
+so this module reconstructs the same workload in torch: ResNet-50 encoder
+-> 3-iteration IEF regressor -> SMPL forward -> weak-perspective projection,
+eval mode, CPU. Written from the architecture spec (SURVEY.md section 2),
+not copied from anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        cout = planes * self.expansion
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.relu = nn.ReLU(inplace=True)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False), nn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        r = x if self.down is None else self.down(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + r)
+
+
+class TorchResNet50(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False),
+            nn.BatchNorm2d(64),
+            nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, stride=2, padding=1),
+        )
+        layers = []
+        cin = 64
+        for planes, blocks, stride in ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)):
+            for b in range(blocks):
+                layers.append(Bottleneck(cin, planes, stride if b == 0 else 1))
+                cin = planes * 4
+        self.body = nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.body(self.stem(x))
+        return x.mean(dim=(2, 3))  # (B, 2048)
+
+
+class TorchHMR(nn.Module):
+    """Full reference-style pipeline: image -> theta/beta/cam -> mesh."""
+
+    def __init__(self, smpl_oracle):
+        super().__init__()
+        self.encoder = TorchResNet50()
+        self.fc1 = nn.Linear(2048 + 85, 1024)
+        self.fc2 = nn.Linear(1024, 1024)
+        self.out = nn.Linear(1024, 85)
+        nn.init.normal_(self.out.weight, std=1e-2)
+        nn.init.zeros_(self.out.bias)
+        self.register_buffer("mean_params", torch.zeros(85))
+        self.smpl = smpl_oracle
+
+    def forward(self, images):
+        B = images.shape[0]
+        feat = self.encoder(images)
+        params = self.mean_params.expand(B, -1)
+        for _ in range(3):
+            x = torch.relu(self.fc1(torch.cat([feat, params], dim=1)))
+            x = torch.relu(self.fc2(x))
+            params = params + self.out(x)
+        theta, beta, cam = params[:, :72], params[:, 72:82], params[:, 82:]
+        smpl_out = self.smpl(theta, beta)
+        verts, joints = smpl_out["verts"], smpl_out["joints"]
+        j2d = cam[:, None, 0:1] * (joints[:, :, :2] + cam[:, None, 1:3])
+        return verts, joints, j2d
+
+
+def measure_cpu_baseline(
+    smpl_model, batch_size: int = 8, repeats: int = 5, threads: int | None = None
+) -> float:
+    """Images/sec of the torch-CPU reference pipeline (eval mode, no_grad)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tests.oracle_smpl_torch import SMPLOracle
+
+    if threads is not None:
+        torch.set_num_threads(threads)
+    model = TorchHMR(SMPLOracle(smpl_model)).eval()
+    images = torch.randn(batch_size, 3, 224, 224)
+    with torch.no_grad():
+        model(images)  # warmup
+        import time
+
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            model(images)
+        dt = (time.perf_counter() - t0) / repeats
+    return batch_size / dt

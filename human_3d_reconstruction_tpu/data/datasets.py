@@ -229,8 +229,8 @@ class SyntheticImageDataset:
             jnp.asarray(self.betas),
         )
         # 14-kp subset of eval joints (first 14 of cocoplus ordering).
-        self.joints3d = np.asarray(out.eval_joints[:, :NUM_KP])
-        self.joints3d -= self.joints3d.mean(axis=1, keepdims=True)
+        j3d = np.array(out.eval_joints[:, :NUM_KP])  # copy: jax arrays are read-only views
+        self.joints3d = j3d - j3d.mean(axis=1, keepdims=True)
         H, W = frame_hw
         self.centers = np.tile(np.array([[W / 2, H / 2]], np.float32), (n, 1))
         self.scales = np.full((n,), min(H, W) * 0.8, np.float32)

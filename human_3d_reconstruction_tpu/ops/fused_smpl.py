@@ -1,0 +1,342 @@
+"""Pallas-fused SMPL forward: blendshapes + LBS in one VMEM-resident kernel.
+
+BASELINE north_star: "The entire SMPL forward ... fused into Pallas kernels
+so mesh recovery is a single jit'd device program with no host round-trips."
+
+Fusion analysis (what the kernel saves vs the XLA twin, SURVEY.md 3.3):
+the XLA path materializes three (B, V, ...) HBM intermediates per body —
+v_shaped, v_posed (each B*6890*3 f32) and the blended transform tensor T
+(B*6890*16 f32, ~441 KB/body — the dominant traffic). The kernel computes
+a vertex TILE of all of them in VMEM and writes only the final verts:
+
+    per tile t (all batched over B in one MXU call each):
+      v_posed[:, :, t] = coeffs (B,218) @ basis (218, 3*T)   [MXU]
+        where coeffs = [1, beta, vec(R)-I] and basis row 0 = v_template,
+        rows 1..10 = shapedirs, rows 11..217 = posedirs -> template add,
+        shape and pose blendshapes are ONE matmul.
+      T'     [:, :, t] = A^T (B*16, 24) @ weights^T (24, T)  [MXU]
+      verts  [:, :, t] = affine-apply(T', v_posed)           [VPU]
+
+Layout: coordinate-major (B, 3, Vp) with the vertex axis on lanes, padded
+to Vp = 7168 (56*128); zero-padded weights/basis make padded verts exactly 0.
+
+The kinematic chain (tiny, serial) and the joint regressions stay in XLA —
+measured guidance from SURVEY.md section 7 "Hard parts".
+
+Gradients: the op carries a custom VJP whose backward is the vjp of the
+XLA twin (identical math), so training works; the Pallas path is the
+inference fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from human_3d_reconstruction_tpu.smpl.forward import (
+    SMPLOutput,
+    kinematic_chain,
+    remove_rest_offset,
+    resolve_parents,
+    smpl_forward,
+)
+from human_3d_reconstruction_tpu.smpl.model_file import NUM_JOINTS
+from human_3d_reconstruction_tpu.utils.geometry import rodrigues
+
+_HI = jax.lax.Precision.HIGHEST
+
+LANE = 128
+VERT_TILE = 512  # vertices per grid step; VMEM/tile ~ 4 MB at B=64
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int) -> np.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return np.pad(x, pad)
+
+
+def prepare_fused_smpl(params: dict, vert_tile: int = VERT_TILE) -> dict:
+    """One-time host-side repack of SMPL params for the fused kernel.
+
+    Returns a dict of device-ready arrays:
+      basis     (218, 3, Vp)  [v_template; shapedirs; posedirs], vertex-lane
+      weightsT  (24, Vp)      transposed skinning weights, zero-padded
+      J_template (24, 3), J_shapedirs (24, 3, 10): rest-joint regression
+          folded through the shape basis (avoids materializing v_shaped)
+      joint_regressor (K, V) passthrough for posed-keypoint regression
+      + original fields needed by the XLA stages.
+    """
+    v_template = np.asarray(params["v_template"], np.float32)  # (V, 3)
+    shapedirs = np.asarray(params["shapedirs"], np.float32)    # (V, 3, 10)
+    posedirs = np.asarray(params["posedirs"], np.float32)      # (V, 3, 207)
+    weights = np.asarray(params["weights"], np.float32)        # (V, 24)
+    J_regressor = np.asarray(params["J_regressor"], np.float32)  # (24, V)
+
+    V = v_template.shape[0]
+    Vp = int(np.ceil(V / vert_tile)) * vert_tile
+    assert Vp % LANE == 0, (Vp, LANE)
+
+    # (218, 3, V): row 0 = template, 1..10 shape, 11..217 pose.
+    basis = np.concatenate(
+        [
+            v_template.T[None],                      # (1, 3, V)
+            np.moveaxis(shapedirs, -1, 0).transpose(0, 2, 1),  # (10, 3, V)
+            np.moveaxis(posedirs, -1, 0).transpose(0, 2, 1),   # (207, 3, V)
+        ],
+        axis=0,
+    )
+    basis = _pad_to(basis, Vp, axis=2)
+
+    prepared = {
+        "basis": jnp.asarray(basis),
+        "weightsT": jnp.asarray(_pad_to(weights.T, Vp, axis=1)),
+        "J_template": jnp.asarray(J_regressor @ v_template),  # (24, 3)
+        "J_shapedirs": jnp.asarray(
+            np.einsum("jv,vcl->jcl", J_regressor, shapedirs)
+        ),  # (24, 3, 10)
+        "kintree_parents": np.asarray(params["kintree_parents"]),
+        "num_verts": V,
+        "vert_tile": vert_tile,
+    }
+    if "joint_regressor" in params:
+        prepared["joint_regressor"] = jnp.asarray(params["joint_regressor"], jnp.float32)
+    if "faces" in params:
+        prepared["faces"] = np.asarray(params["faces"])
+    return prepared
+
+
+def _lbs_kernel(coeffs_ref, basis_ref, wT_ref, At_ref, out_ref):
+    """One vertex tile: blendshapes + transform blend + affine apply."""
+    n_basis = basis_ref.shape[0]          # 218
+    tile = basis_ref.shape[2]             # VERT_TILE
+    B = coeffs_ref.shape[0]
+
+    basis2d = basis_ref[:].reshape(n_basis, 3 * tile)
+    v_posed = jnp.dot(
+        coeffs_ref[:], basis2d, preferred_element_type=jnp.float32, precision=_HI
+    ).reshape(B, 3, tile)
+
+    T = jnp.dot(
+        At_ref[:], wT_ref[:], preferred_element_type=jnp.float32, precision=_HI
+    ).reshape(B, 16, tile)
+
+    x, y, z = v_posed[:, 0], v_posed[:, 1], v_posed[:, 2]
+    ox = T[:, 0] * x + T[:, 1] * y + T[:, 2] * z + T[:, 3]
+    oy = T[:, 4] * x + T[:, 5] * y + T[:, 6] * z + T[:, 7]
+    oz = T[:, 8] * x + T[:, 9] * y + T[:, 10] * z + T[:, 11]
+    out_ref[:] = jnp.stack([ox, oy, oz], axis=1)
+
+
+def _lbs_pallas_call(
+    coeffs: jax.Array,   # (B, 218)
+    basis: jax.Array,    # (218, 3, Vp)
+    weightsT: jax.Array, # (24, Vp)
+    At: jax.Array,       # (B*16, 24)
+    vert_tile: int,
+    interpret: bool,
+) -> jax.Array:
+    B = coeffs.shape[0]
+    n_basis, _, Vp = basis.shape
+    grid = (Vp // vert_tile,)
+
+    return pl.pallas_call(
+        _lbs_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 3, Vp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, n_basis), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_basis, 3, vert_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((24, vert_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * 16, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, 3, vert_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_basis * 3 * Vp + 2 * B * 16 * 24 * Vp + 9 * B * Vp,
+            bytes_accessed=4 * (n_basis * 3 * Vp + 24 * Vp + B * (n_basis + 16 * 24 + 3 * Vp)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coeffs, basis, weightsT, At)
+
+
+def _fused_core(
+    prepared: dict, pose: jax.Array, betas: jax.Array, interpret: bool,
+    parents: list[int],
+):
+    """Shared trace: XLA chain stages + the Pallas tile kernel."""
+    B = pose.shape[0]
+    pose = jnp.asarray(pose, jnp.float32).reshape(B, NUM_JOINTS, 3)
+    betas = jnp.asarray(betas, jnp.float32)
+
+    rotations = rodrigues(pose)  # (B, 24, 3, 3)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    pose_feature = (rotations[:, 1:] - eye).reshape(B, -1)  # (B, 207)
+
+    # Rest joints straight from (beta) via the folded regressor.
+    rest_joints = prepared["J_template"][None] + jnp.einsum(
+        "jcl,bl->bjc", prepared["J_shapedirs"], betas,
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # (B, 24, 3)
+
+    transforms = kinematic_chain(rotations, rest_joints, parents)
+    A = remove_rest_offset(transforms, rest_joints)  # (B, 24, 4, 4)
+    # A^T per body, stacked: (B, 16, 24) -> (B*16, 24).
+    At = A.reshape(B, 24, 16).transpose(0, 2, 1).reshape(B * 16, 24)
+
+    ones = jnp.ones((B, 1), jnp.float32)
+    coeffs = jnp.concatenate([ones, betas, pose_feature], axis=1)  # (B, 218)
+
+    verts_cm = _lbs_pallas_call(
+        coeffs,
+        prepared["basis"],
+        prepared["weightsT"],
+        At,
+        prepared["vert_tile"],
+        interpret,
+    )  # (B, 3, Vp)
+    return verts_cm, rotations, transforms, rest_joints
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_verts(static: tuple, coeff_inputs: tuple) -> jax.Array:
+    """Differentiable wrapper around the kernel: returns verts (B, V, 3)."""
+    raise NotImplementedError  # replaced by defvjp below
+
+
+def smpl_forward_fused(
+    params: dict,
+    pose: jax.Array,
+    betas: jax.Array,
+    trans: Optional[jax.Array] = None,
+) -> SMPLOutput:
+    """Drop-in replacement for `smpl_forward` using the Pallas kernel.
+
+    `params` may be raw (`SMPLModel.as_dict()`) or pre-packed via
+    `prepare_fused_smpl` (preferred: the repack then happens once on the
+    host instead of inside every trace).
+
+    Backward pass: delegates to the XLA twin's vjp (same math), so this op
+    is safe inside the training loss; the kernel accelerates the forward.
+    """
+    prepared = params if "basis" in params else prepare_fused_smpl(params)
+    parents = resolve_parents(prepared)
+    interpret = _is_cpu()
+    V = prepared["num_verts"]
+
+    def forward(pose, betas):
+        verts_cm, rotations, transforms, rest_joints = _fused_core(
+            prepared, pose, betas, interpret, parents
+        )
+        return verts_cm, rotations, transforms, rest_joints
+
+    def forward_ref(pose, betas):
+        """XLA twin restricted to verts — used for the custom backward."""
+        raw = {
+            # Rebuild minimal raw params from the packed basis (exact same
+            # numbers; slicing is free at trace time).
+            "v_template": prepared["basis"][0, :, :V].T,
+            "shapedirs": prepared["basis"][1:11, :, :V].transpose(2, 1, 0),
+            "posedirs": prepared["basis"][11:, :, :V].transpose(2, 1, 0),
+            "weights": prepared["weightsT"][:, :V].T,
+            "J_regressor": jnp.zeros((24, V), jnp.float32),  # unused: joints via folded regressor
+        }
+        # smpl_forward recomputes rest joints from J_regressor; we need the
+        # folded version for identical math, so inline the twin here:
+        B = pose.shape[0]
+        p = jnp.asarray(pose, jnp.float32).reshape(B, NUM_JOINTS, 3)
+        b = jnp.asarray(betas, jnp.float32)
+        rotations = rodrigues(p)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        pose_feature = (rotations[:, 1:] - eye).reshape(B, -1)
+        rest_joints = prepared["J_template"][None] + jnp.einsum(
+            "jcl,bl->bjc", prepared["J_shapedirs"], b,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        v_shaped = raw["v_template"][None] + jnp.einsum(
+            "vcl,bl->bvc", raw["shapedirs"], b,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        v_posed = v_shaped + jnp.einsum(
+            "vcp,bp->bvc", raw["posedirs"], pose_feature,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        transforms = kinematic_chain(rotations, rest_joints, parents)
+        A = remove_rest_offset(transforms, rest_joints)
+        T = jnp.einsum(
+            "vj,bjpq->bvpq", raw["weights"], A,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        verts = (
+            jnp.einsum(
+                "bvpq,bvq->bvp", T[:, :, :3, :3], v_posed,
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            + T[:, :, :3, 3]
+        )
+        return verts
+
+    @jax.custom_vjp
+    def verts_op(pose, betas):
+        verts_cm, *_ = forward(pose, betas)
+        return verts_cm[:, :, :V].transpose(0, 2, 1)  # (B, V, 3)
+
+    def verts_fwd(pose, betas):
+        return verts_op(pose, betas), (pose, betas)
+
+    def verts_bwd(res, g):
+        pose, betas = res
+        _, vjp = jax.vjp(forward_ref, pose, betas)
+        return vjp(g)
+
+    verts_op.defvjp(verts_fwd, verts_bwd)
+
+    verts = verts_op(pose, betas)
+    # Joints (cheap XLA stages; recomputed outside the custom_vjp so they
+    # differentiate naturally).
+    B = pose.shape[0]
+    p = jnp.asarray(pose, jnp.float32).reshape(B, NUM_JOINTS, 3)
+    b = jnp.asarray(betas, jnp.float32)
+    rotations = rodrigues(p)
+    rest_joints = prepared["J_template"][None] + jnp.einsum(
+        "jcl,bl->bjc", prepared["J_shapedirs"], b,
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    transforms = kinematic_chain(rotations, rest_joints, parents)
+    joints = transforms[:, :, :3, 3]
+
+    if "joint_regressor" in prepared:
+        eval_joints = jnp.einsum(
+            "kv,bvc->bkc", prepared["joint_regressor"], verts,
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+    else:
+        eval_joints = joints
+
+    if trans is not None:
+        t = jnp.asarray(trans, jnp.float32)[:, None, :]
+        verts = verts + t
+        joints = joints + t
+        eval_joints = eval_joints + t
+
+    return SMPLOutput(
+        verts=verts,
+        joints=joints,
+        eval_joints=eval_joints,
+        rest_joints=rest_joints,
+        rotations=rotations,
+        transforms=transforms,
+    )

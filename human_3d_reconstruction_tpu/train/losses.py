@@ -36,8 +36,13 @@ class LossWeights:
 
 
 def _masked_mean(err: jax.Array, mask: jax.Array) -> jax.Array:
-    """Mean of err over entries where mask > 0 (safe for empty masks)."""
-    mask = mask.astype(jnp.float32)
+    """Mean of err over entries where mask > 0 (safe for empty masks).
+
+    The mask is binarized: visibility/has-GT flags are predicates, not
+    weights — fractional or negative annotation values must not scale or
+    flip the loss.
+    """
+    mask = (mask > 0).astype(jnp.float32)
     return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 

@@ -1,0 +1,297 @@
+"""Alternating adversarial HMR trainer — one fused jitted step.
+
+Reference parity (SURVEY.md section 3.1): the reference's hot loop is
+  batch -> generator fwd (encoder + 3x IEF, SMPL decode per iter)
+        -> G losses -> G Adam step
+        -> discriminator on (real mosh, regressed) -> D loss -> D Adam step
+with exactly one host->device copy per step. Here BOTH optimizer updates,
+the on-device preprocessing (crop/aug/normalize), and every SMPL decode run
+inside ONE jit — the host only feeds raw frames and annotation arrays.
+
+Sharding: `train_step` is jitted with batch inputs sharded over the 'data'
+mesh axis and params replicated; XLA inserts the gradient all-reduce over
+ICI (SURVEY.md section 5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from human_3d_reconstruction_tpu.data.preprocess import (
+    affine_crop,
+    normalize_image,
+    transform_keypoints,
+)
+from human_3d_reconstruction_tpu.data.skeleton import LSP_FLIP_MAP, NUM_KP
+from human_3d_reconstruction_tpu.models.discriminator import SMPLDiscriminator
+from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
+from human_3d_reconstruction_tpu.models.regressor import split_params
+from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+from human_3d_reconstruction_tpu.train import losses as L
+from human_3d_reconstruction_tpu.utils.geometry import orthographic_project
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    crop_size: int = 224
+    g_lr: float = 1e-4
+    d_lr: float = 1e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    weight_decay: float = 1e-4
+    loss_weights: L.LossWeights = L.LossWeights()
+    supervise_all_iterations: bool = True
+    use_adversarial: bool = True
+    # Augmentation ranges (reference-style scale/rot/flip jitter).
+    aug_rot_max: float = 0.0  # radians; 0 disables
+    aug_scale_jitter: float = 0.0
+    aug_flip: bool = False
+    hmr: HMRConfig = HMRConfig()
+
+
+class GenState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class DiscState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+
+
+def create_states(
+    config: TrainConfig, rng: jax.Array, smpl_params: dict
+) -> tuple[GenState, DiscState, HMRModel, SMPLDiscriminator, optax.GradientTransformation, optax.GradientTransformation]:
+    """Initialize model/disc params and optimizer states."""
+    model = HMRModel(config=config.hmr)
+    disc = SMPLDiscriminator()
+
+    g_rng, d_rng = jax.random.split(rng)
+    dummy = jnp.zeros((1, config.crop_size, config.crop_size, 3), jnp.float32)
+    gen_vars = model.init(g_rng, dummy)
+    disc_vars = disc.init(d_rng, jnp.zeros((1, 72)), jnp.zeros((1, 10)))
+
+    g_tx = optax.adamw(
+        config.g_lr, b1=config.adam_b1, b2=config.adam_b2, weight_decay=config.weight_decay
+    )
+    d_tx = optax.adamw(
+        config.d_lr, b1=config.adam_b1, b2=config.adam_b2, weight_decay=config.weight_decay
+    )
+
+    gen_state = GenState(
+        step=jnp.zeros((), jnp.int32),
+        params=gen_vars["params"],
+        batch_stats=gen_vars["batch_stats"],
+        opt_state=g_tx.init(gen_vars["params"]),
+    )
+    disc_state = DiscState(
+        params=disc_vars["params"], opt_state=d_tx.init(disc_vars["params"])
+    )
+    return gen_state, disc_state, model, disc, g_tx, d_tx
+
+
+def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
+    """On-device crop + augmentation for images AND keypoints (aligned)."""
+    B = batch["images"].shape[0]
+    r_rot, r_scale, r_flip = jax.random.split(rng, 3)
+
+    rots = (
+        jax.random.uniform(r_rot, (B,), minval=-config.aug_rot_max, maxval=config.aug_rot_max)
+        if config.aug_rot_max > 0
+        else jnp.zeros((B,))
+    )
+    scale_mult = (
+        1.0
+        + jax.random.uniform(
+            r_scale, (B,), minval=-config.aug_scale_jitter, maxval=config.aug_scale_jitter
+        )
+        if config.aug_scale_jitter > 0
+        else jnp.ones((B,))
+    )
+    flips = (
+        (jax.random.uniform(r_flip, (B,)) < 0.5).astype(jnp.float32)
+        if config.aug_flip
+        else jnp.zeros((B,))
+    )
+    scales = batch["scales"] * scale_mult
+
+    crops = jax.vmap(partial(affine_crop, out_size=config.crop_size))(
+        batch["images"], batch["centers"], scales, rots, flips
+    )
+    crops = normalize_image(crops)
+
+    flip_map = jnp.asarray(LSP_FLIP_MAP)
+    kp2d = jax.vmap(
+        partial(transform_keypoints, flip_map=flip_map, out_size=config.crop_size)
+    )(batch["kp2d"][:, :, :2], batch["centers"], scales, rots, flips)
+    vis = batch["kp2d"][:, :, 2]
+    vis = jnp.where(flips[:, None] > 0, vis[:, LSP_FLIP_MAP], vis)
+
+    # 3D joints rotate with the in-plane aug and mirror on flip.
+    j3d = batch["joints3d"]
+    cos_r, sin_r = jnp.cos(-rots), jnp.sin(-rots)
+    x = cos_r[:, None] * j3d[:, :, 0] - sin_r[:, None] * j3d[:, :, 1]
+    y = sin_r[:, None] * j3d[:, :, 0] + cos_r[:, None] * j3d[:, :, 1]
+    j3d = jnp.stack([x, y, j3d[:, :, 2]], axis=-1)
+    j3d_flipped = j3d[:, LSP_FLIP_MAP] * jnp.asarray([-1.0, 1.0, 1.0])
+    j3d = jnp.where(flips[:, None, None] > 0, j3d_flipped, j3d)
+
+    return crops, kp2d, vis, j3d
+
+
+def make_train_step(
+    config: TrainConfig,
+    model: HMRModel,
+    disc: SMPLDiscriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+):
+    """Build the fused G+D train step (jit it at the call site with shardings)."""
+
+    def train_step(
+        gen_state: GenState,
+        disc_state: DiscState,
+        smpl_params: dict,
+        batch: dict,
+        mosh_theta: jax.Array,
+        mosh_beta: jax.Array,
+        rng: jax.Array,
+    ):
+        rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, gen_state.step))
+        crops, kp2d, vis, j3d = _device_preprocess(config, batch, rng_aug)
+
+        w = config.loss_weights
+
+        def gen_loss_fn(g_params):
+            variables = {"params": g_params, "batch_stats": gen_state.batch_stats}
+            out, mutated = model.apply(
+                variables,
+                crops,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+            iters = (
+                out.all_params
+                if config.supervise_all_iterations
+                else out.all_params[-1:]
+            )
+            T = iters.shape[0]
+
+            total = 0.0
+            metrics = {}
+            last_theta = last_beta = None
+            for t in range(T):  # static unroll over IEF iterations
+                theta_t, beta_t, cam_t = split_params(iters[t])
+                smpl_out = smpl_forward(smpl_params, theta_t, beta_t)
+                pred14_3d = smpl_out.eval_joints[:, :NUM_KP]
+                pred14_2d = orthographic_project(pred14_3d, cam_t)
+
+                l_kp = L.keypoint_2d_loss(pred14_2d, kp2d, vis)
+                l_3d = L.joints_3d_loss(pred14_3d, j3d, batch["has_3d"])
+                l_par = L.smpl_param_loss(
+                    theta_t, beta_t, batch["theta"], batch["beta"], batch["has_smpl"]
+                )
+                total = total + (w.kp2d * l_kp + w.joints3d * l_3d + w.smpl_params * l_par) / T
+                last_theta, last_beta = theta_t, beta_t
+                if t == T - 1:
+                    metrics = {"loss_kp2d": l_kp, "loss_3d": l_3d, "loss_param": l_par}
+
+            if config.use_adversarial:
+                fake_scores = disc.apply({"params": disc_state.params}, last_theta, last_beta)
+                l_adv = L.adversarial_g_loss(fake_scores)
+                total = total + w.adversarial * l_adv
+                metrics["loss_adv_g"] = l_adv
+            if w.shape_reg > 0:
+                total = total + w.shape_reg * jnp.mean(last_beta**2)
+
+            metrics["loss_g"] = total
+            return total, (mutated["batch_stats"], metrics, last_theta, last_beta)
+
+        (g_loss, (new_bs, metrics, fake_theta, fake_beta)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(gen_state.params)
+        g_updates, g_opt = g_tx.update(g_grads, gen_state.opt_state, gen_state.params)
+        new_gen = GenState(
+            step=gen_state.step + 1,
+            params=optax.apply_updates(gen_state.params, g_updates),
+            batch_stats=new_bs,
+            opt_state=g_opt,
+        )
+
+        if config.use_adversarial:
+
+            def disc_loss_fn(d_params):
+                real = disc.apply({"params": d_params}, mosh_theta, mosh_beta)
+                fake = disc.apply(
+                    {"params": d_params},
+                    jax.lax.stop_gradient(fake_theta),
+                    jax.lax.stop_gradient(fake_beta),
+                )
+                return L.adversarial_d_loss(real, fake)
+
+            d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(disc_state.params)
+            d_updates, d_opt = d_tx.update(d_grads, disc_state.opt_state, disc_state.params)
+            new_disc = DiscState(
+                params=optax.apply_updates(disc_state.params, d_updates), opt_state=d_opt
+            )
+            metrics["loss_d"] = d_loss
+        else:
+            new_disc = disc_state
+
+        return new_gen, new_disc, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (reference: torch.save/--resume; SURVEY.md section 5 row
+# "Checkpoint / resume" — rebuilt on Orbax with auto-restore-latest).
+# ---------------------------------------------------------------------------
+
+
+def make_checkpoint_manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        directory,
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(mgr, step: int, gen_state: GenState, disc_state: DiscState) -> None:
+    import orbax.checkpoint as ocp
+
+    mgr.save(
+        step,
+        args=ocp.args.Composite(
+            gen=ocp.args.StandardSave(jax.device_get(gen_state)),
+            disc=ocp.args.StandardSave(jax.device_get(disc_state)),
+        ),
+    )
+
+
+def restore_latest(mgr, gen_template: GenState, disc_template: DiscState):
+    """Restore the newest checkpoint, or return templates when none exist."""
+    import orbax.checkpoint as ocp
+
+    step = mgr.latest_step()
+    if step is None:
+        return gen_template, disc_template, 0
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(
+            gen=ocp.args.StandardRestore(jax.device_get(gen_template)),
+            disc=ocp.args.StandardRestore(jax.device_get(disc_template)),
+        ),
+    )
+    return restored["gen"], restored["disc"], step

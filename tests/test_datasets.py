@@ -1,0 +1,117 @@
+"""Dataset adapter tests: remap tables, synthetic source, collation, mixing."""
+
+import numpy as np
+import pytest
+
+from human_3d_reconstruction_tpu.data.datasets import (
+    Batch,
+    DATASET_REGISTRY,
+    MixedLoader,
+    MoshParamSource,
+    SyntheticImageDataset,
+    collate,
+)
+from human_3d_reconstruction_tpu.data.skeleton import (
+    COCO_TO_LSP14,
+    LSP_FLIP_MAP,
+    NUM_KP,
+    remap_keypoints,
+)
+
+
+class TestRemap:
+    def test_coco_missing_joints_get_zero_vis(self, rng):
+        kp_coco = rng.normal(size=(17, 3)).astype(np.float32)
+        kp_coco[:, 2] = 1.0
+        out = remap_keypoints(kp_coco, COCO_TO_LSP14)
+        assert out.shape == (14, 3)
+        assert out[12, 2] == 0.0 and out[13, 2] == 0.0  # neck, head_top absent
+        np.testing.assert_allclose(out[0], kp_coco[16])  # r_ankle
+
+    def test_flip_map_is_involution(self):
+        assert np.array_equal(LSP_FLIP_MAP[LSP_FLIP_MAP], np.arange(14))
+
+    def test_registry_names(self):
+        assert set(DATASET_REGISTRY) == {
+            "lsp", "lsp_ext", "mpii", "coco", "h36m", "mpi_inf_3dhp"
+        }
+
+
+class TestSynthetic:
+    def test_record_schema(self, smpl_model):
+        ds = SyntheticImageDataset(smpl_model, n=4, seed=0)
+        r = ds[0]
+        assert r.image.shape == (256, 256, 3)
+        assert r.kp2d.shape == (NUM_KP, 3)
+        assert r.joints3d.shape == (NUM_KP, 3)
+        assert float(r.has_3d) == 1.0 and float(r.has_smpl) == 1.0
+        # 3D joints are root-relative (centered).
+        np.testing.assert_allclose(r.joints3d.mean(axis=0), 0.0, atol=1e-5)
+
+    def test_deterministic(self, smpl_model):
+        a = SyntheticImageDataset(smpl_model, n=2, seed=3)[1]
+        b = SyntheticImageDataset(smpl_model, n=2, seed=3)[1]
+        np.testing.assert_array_equal(a.image, b.image)
+        np.testing.assert_array_equal(a.theta, b.theta)
+
+
+class TestCollateAndLoader:
+    def test_collate_pads_to_max(self, smpl_model):
+        ds = SyntheticImageDataset(smpl_model, n=2, seed=0)
+        r0, r1 = ds[0], ds[1]
+        r1.image = r1.image[:200, :180]  # ragged
+        batch = collate([r0, r1])
+        assert batch.images.shape == (2, 256, 256, 3)
+        assert np.allclose(batch.images[1, 200:], 0.0)
+
+    def test_mixed_loader_yields_batches(self, smpl_model):
+        ds1 = SyntheticImageDataset(smpl_model, n=4, seed=0)
+        ds2 = SyntheticImageDataset(smpl_model, n=4, seed=9)
+        loader = MixedLoader([ds1, ds2], batch_size=3, weights=[0.5, 0.5], seed=0)
+        batch = next(iter(loader))
+        assert isinstance(batch, Batch)
+        assert batch.images.shape[0] == 3
+        assert batch.theta.shape == (3, 72)
+
+
+class TestMosh:
+    def test_synthetic_pool(self):
+        src = MoshParamSource.synthetic(np.random.default_rng(0), n=128)
+        t, b = src.sample(np.random.default_rng(1), 16)
+        assert t.shape == (16, 72) and b.shape == (16, 10)
+        # near-upright root: much smaller than body pose noise
+        assert np.abs(t[:, :3]).std() < np.abs(t[:, 3:]).std() * 2
+
+    def test_npz_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        thetas = rng.normal(size=(8, 72)).astype(np.float32)
+        betas = rng.normal(size=(8, 10)).astype(np.float32)
+        np.savez(tmp_path / "mosh.npz", thetas=thetas, betas=betas)
+        src = MoshParamSource.from_npz(tmp_path / "mosh.npz")
+        np.testing.assert_array_equal(src.thetas, thetas)
+
+
+class TestAnnotationDataset:
+    def test_npz_index_loading(self, tmp_path, rng):
+        """End-to-end adapter: write an npz index + images, read records."""
+        import cv2
+
+        img_dir = tmp_path
+        paths = []
+        for i in range(2):
+            p = f"im{i}.png"
+            cv2.imwrite(str(img_dir / p), rng.integers(0, 255, (60, 80, 3)).astype(np.uint8))
+            paths.append(p)
+        np.savez(
+            tmp_path / "index.npz",
+            image_paths=np.asarray(paths),
+            centers=np.tile([[40.0, 30.0]], (2, 1)).astype(np.float32),
+            scales=np.asarray([50.0, 55.0], np.float32),
+            keypoints=rng.normal(size=(2, 14, 3)).astype(np.float32),
+        )
+        ds = DATASET_REGISTRY["lsp"](tmp_path / "index.npz")
+        assert len(ds) == 2
+        rec = ds[1]
+        assert rec.image.shape == (60, 80, 3)
+        assert rec.kp2d.shape == (14, 3)
+        assert float(rec.has_3d) == 0.0 and float(rec.has_smpl) == 0.0

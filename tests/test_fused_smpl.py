@@ -1,0 +1,91 @@
+"""Pallas fused-SMPL kernel vs XLA twin equivalence (SURVEY.md section 4
+item 2). On CPU the kernel runs in interpret mode; on TPU compiled — same
+test code covers both.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.ops import prepare_fused_smpl, smpl_forward_fused
+from human_3d_reconstruction_tpu.smpl import smpl_forward
+
+
+@pytest.fixture(scope="module")
+def prepared(smpl_model):
+    return prepare_fused_smpl(smpl_model.as_dict())
+
+
+def random_inputs(rng, batch):
+    pose = jnp.asarray(rng.normal(scale=0.7, size=(batch, 72)).astype(np.float32))
+    betas = jnp.asarray(rng.normal(size=(batch, 10)).astype(np.float32))
+    return pose, betas
+
+
+class TestFusedEquivalence:
+    @pytest.mark.parametrize("batch", [1, 4])
+    def test_matches_xla_twin(self, smpl_model, prepared, rng, batch):
+        pose, betas = random_inputs(rng, batch)
+        ref = smpl_forward(smpl_model.as_dict(), pose, betas)
+        fused = smpl_forward_fused(prepared, pose, betas)
+
+        np.testing.assert_allclose(
+            np.asarray(fused.verts), np.asarray(ref.verts), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.joints), np.asarray(ref.joints), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.eval_joints), np.asarray(ref.eval_joints), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.rest_joints), np.asarray(ref.rest_joints), atol=2e-5
+        )
+
+    def test_raw_params_accepted(self, smpl_model, rng):
+        """Un-prepacked params work too (repack happens in-trace)."""
+        pose, betas = random_inputs(rng, 2)
+        fused = smpl_forward_fused(smpl_model.as_dict(), pose, betas)
+        ref = smpl_forward(smpl_model.as_dict(), pose, betas)
+        np.testing.assert_allclose(
+            np.asarray(fused.verts), np.asarray(ref.verts), atol=2e-5
+        )
+
+    def test_translation(self, smpl_model, prepared, rng):
+        pose, betas = random_inputs(rng, 2)
+        t = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+        fused = smpl_forward_fused(prepared, pose, betas, trans=t)
+        base = smpl_forward_fused(prepared, pose, betas)
+        np.testing.assert_allclose(
+            np.asarray(fused.verts), np.asarray(base.verts) + np.asarray(t)[:, None], atol=1e-6
+        )
+
+    def test_jit(self, prepared, rng):
+        pose, betas = random_inputs(rng, 2)
+        f = jax.jit(lambda p, b: smpl_forward_fused(prepared, p, b).verts)
+        out = f(pose, betas)
+        assert out.shape == (2, 6890, 3)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_gradients_match_xla(self, smpl_model, prepared, rng):
+        """Custom VJP (XLA-twin backward) == differentiating the twin."""
+        pose, betas = random_inputs(rng, 2)
+
+        def loss_fused(p, b):
+            return jnp.sum(smpl_forward_fused(prepared, p, b).verts ** 2)
+
+        def loss_ref(p, b):
+            return jnp.sum(smpl_forward(smpl_model.as_dict(), p, b).verts ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(pose, betas)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(pose, betas)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-3)
+
+    def test_padded_tail_is_zero_effect(self, smpl_model, prepared, rng):
+        """Padding rows contribute nothing: vert count and values exact."""
+        pose, betas = random_inputs(rng, 1)
+        fused = smpl_forward_fused(prepared, pose, betas)
+        assert fused.verts.shape[1] == smpl_model.v_template.shape[0]

@@ -1,0 +1,164 @@
+"""Trainer integration: one fused step runs, loss decreases on a fixed batch,
+checkpoint round-trips, DP sharding matches single-device (SURVEY.md
+section 4 items 5/6).
+
+Uses a small crop size to keep CPU runtime sane — the step function is
+resolution-agnostic.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.data.datasets import SyntheticImageDataset, collate
+from human_3d_reconstruction_tpu.models.hmr import HMRConfig
+from human_3d_reconstruction_tpu.parallel import make_mesh, replicate, shard_batch
+from human_3d_reconstruction_tpu.train.trainer import (
+    TrainConfig,
+    create_states,
+    make_checkpoint_manager,
+    make_train_step,
+    restore_latest,
+    save_checkpoint,
+)
+
+CROP = 64
+
+
+def small_config(**kw) -> TrainConfig:
+    return TrainConfig(crop_size=CROP, g_lr=1e-4, d_lr=1e-4, hmr=HMRConfig(), **kw)
+
+
+def batch_to_dict(batch) -> dict:
+    return {
+        "images": jnp.asarray(batch.images),
+        "centers": jnp.asarray(batch.centers),
+        "scales": jnp.asarray(batch.scales),
+        "kp2d": jnp.asarray(batch.kp2d),
+        "joints3d": jnp.asarray(batch.joints3d),
+        "has_3d": jnp.asarray(batch.has_3d),
+        "theta": jnp.asarray(batch.theta),
+        "beta": jnp.asarray(batch.beta),
+        "has_smpl": jnp.asarray(batch.has_smpl),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(smpl_model):
+    config = small_config()
+    gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+        config, jax.random.key(0), smpl_model.as_dict()
+    )
+    step_fn = jax.jit(make_train_step(config, model, disc_mod, g_tx, d_tx))
+    smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+    ds = SyntheticImageDataset(smpl_model, n=8, frame_hw=(96, 96), seed=0)
+    batch = batch_to_dict(collate([ds[i] for i in range(8)]))
+    mosh_t = jnp.asarray(
+        np.random.default_rng(5).normal(scale=0.2, size=(8, 72)).astype(np.float32)
+    )
+    mosh_b = jnp.asarray(
+        np.random.default_rng(6).normal(size=(8, 10)).astype(np.float32)
+    )
+    return config, step_fn, gen, disc, smpl_params, batch, mosh_t, mosh_b
+
+
+class TestTrainStep:
+    def test_single_step_runs_and_is_finite(self, setup):
+        _, step_fn, gen, disc, smpl_params, batch, mt, mb = setup
+        new_gen, new_disc, metrics = step_fn(
+            gen, disc, smpl_params, batch, mt, mb, jax.random.key(1)
+        )
+        assert int(new_gen.step) == 1
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+        # params actually moved
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), gen.params, new_gen.params)
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_overfit_fixed_batch(self, setup):
+        """Supervised loss drops on a repeated batch (SURVEY section 4 item 5)."""
+        _, step_fn, gen, disc, smpl_params, batch, mt, mb = setup
+        losses = []
+        for i in range(12):
+            gen, disc, metrics = step_fn(
+                gen, disc, smpl_params, batch, mt, mb, jax.random.key(2)
+            )
+            supervised = (
+                float(metrics["loss_kp2d"])
+                + float(metrics["loss_3d"])
+                + float(metrics["loss_param"])
+            )
+            losses.append(supervised)
+        assert losses[-1] < losses[0] * 0.9, losses
+
+    def test_no_adversarial_mode(self, smpl_model, setup):
+        config = small_config(use_adversarial=False)
+        gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        step_fn = jax.jit(make_train_step(config, model, disc_mod, g_tx, d_tx))
+        _, _, _, _, smpl_params, batch, mt, mb = setup
+        _, new_disc, metrics = step_fn(gen, disc, smpl_params, batch, mt, mb, jax.random.key(0))
+        assert "loss_d" not in metrics
+        # disc untouched
+        same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)), disc.params, new_disc.params)
+        assert all(jax.tree.leaves(same))
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_unsharded(self, setup):
+        """DP over the 8-device CPU mesh == single-device math
+        (SURVEY.md section 4 item 6)."""
+        _, step_fn, gen, disc, smpl_params, batch, mt, mb = setup
+        ref_gen, _, ref_metrics = step_fn(
+            gen, disc, smpl_params, batch, mt, mb, jax.random.key(3)
+        )
+
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        sharded_batch = shard_batch(batch, mesh)
+        gen_r = replicate(gen, mesh)
+        disc_r = replicate(disc, mesh)
+        smpl_r = replicate(smpl_params, mesh)
+        dp_gen, _, dp_metrics = step_fn(
+            gen_r, disc_r, smpl_r, sharded_batch, mt, mb, jax.random.key(3)
+        )
+
+        np.testing.assert_allclose(
+            float(dp_metrics["loss_g"]), float(ref_metrics["loss_g"]), rtol=2e-4
+        )
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), ref_gen.params, dp_gen.params
+        )
+        # AdamW normalizes the gradient, so ulp-level reduction-order noise
+        # in sharded grads surfaces at the learning-rate scale (1e-4);
+        # anything well under 1e-3 means the DP math is equivalent.
+        assert max(jax.tree.leaves(diffs)) < 5e-4
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, setup, tmp_path):
+        _, step_fn, gen, disc, smpl_params, batch, mt, mb = setup
+        gen1, disc1, _ = step_fn(gen, disc, smpl_params, batch, mt, mb, jax.random.key(4))
+        mgr = make_checkpoint_manager(str(tmp_path / "ckpt"))
+        save_checkpoint(mgr, 1, gen1, disc1)
+        mgr.wait_until_finished()
+
+        restored_gen, restored_disc, step = restore_latest(mgr, gen, disc)
+        assert step == 1
+        same = jax.tree.map(
+            lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+            jax.device_get(gen1.params),
+            restored_gen.params,
+        )
+        assert all(jax.tree.leaves(same))
+
+    def test_restore_empty_returns_template(self, setup, tmp_path):
+        _, _, gen, disc, *_ = setup
+        mgr = make_checkpoint_manager(str(tmp_path / "empty_ckpt"))
+        g, d, step = restore_latest(mgr, gen, disc)
+        assert step == 0
