@@ -57,14 +57,16 @@ def main() -> None:
     from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel
     from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model
 
+    from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+
     smpl_model = synthetic_smpl_model(seed=0)
     cpu_ips = get_cpu_baseline(smpl_model)
 
     log(f"devices: {jax.devices()}")
     model = HMRModel(config=HMRConfig())
     variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
-    smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
-    recover = make_recover_mesh(model)
+    smpl_params = prepare_fused_smpl(smpl_model.as_dict())
+    recover = make_recover_mesh(model, smpl_path="pallas")
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0, 255, (BATCH, 256, 256, 3)).astype(np.float32))

@@ -1,0 +1,66 @@
+"""Shared CLI plumbing: model/params construction from a RunConfig."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.config import RunConfig
+from human_3d_reconstruction_tpu.models import HMRModel
+from human_3d_reconstruction_tpu.smpl import load_smpl_model, synthetic_smpl_model
+
+
+def build_smpl(config: RunConfig):
+    """SMPLModel from config path, or the deterministic synthetic model."""
+    if config.smpl_model_path:
+        return load_smpl_model(config.smpl_model_path)
+    return synthetic_smpl_model(seed=0)
+
+
+def build_model(config: RunConfig) -> HMRModel:
+    return HMRModel(config=config.train.hmr)
+
+
+def init_variables(config: RunConfig, model: HMRModel) -> Any:
+    dummy = jnp.zeros((1, config.data.crop_size, config.data.crop_size, 3))
+    return model.init(jax.random.key(config.seed), dummy)
+
+
+def smpl_device_params(config: RunConfig, smpl_model) -> dict:
+    if config.smpl_path == "pallas":
+        from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+
+        return prepare_fused_smpl(smpl_model.as_dict())
+    return jax.tree.map(jnp.asarray, smpl_model.as_dict())
+
+
+class JSONLLogger:
+    """Structured metric log (SURVEY.md section 5 'Metrics / logging')."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.path, "a")
+
+    def log(self, step: int, **metrics) -> None:
+        row = {"step": step, "time": time.time()}
+        row.update(
+            {k: (float(v) if not isinstance(v, str) else v) for k, v in metrics.items()}
+        )
+        self._fh.write(json.dumps(row) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def echo(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)

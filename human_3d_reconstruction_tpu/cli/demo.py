@@ -1,0 +1,136 @@
+"""Demo: image(s) -> mesh recovery -> overlay render (BASELINE configs 2/5).
+
+Usage:
+    python -m human_3d_reconstruction_tpu.cli.demo single_image \
+        --image=path.jpg [--boxes=boxes.json] [--out=overlay.png] [overrides]
+
+Without --image a synthetic frame is generated (no sample data ships in
+this environment). --boxes is a JSON list of [cx, cy, scale] person boxes;
+without it one full-frame box is used (single-person mode). Multi-person
+(config 5) = multiple boxes: N crops are batched through ONE device program
+and each mesh is rendered back into the frame.
+
+Reference call-stack twin: demo.py main (SURVEY.md section 3.2).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv: list[str]) -> None:
+    from human_3d_reconstruction_tpu.api import make_recover_mesh
+    from human_3d_reconstruction_tpu.cli.common import (
+        build_model,
+        build_smpl,
+        echo,
+        init_variables,
+        smpl_device_params,
+    )
+    from human_3d_reconstruction_tpu.config import load_config
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+    from human_3d_reconstruction_tpu.viz import overlay_meshes
+
+    # split our own flags from config overrides
+    own, overrides = {}, []
+    for a in argv:
+        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
+        if key in ("image", "boxes", "out", "checkpoint"):
+            own[key] = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
+    config = load_config(overrides)
+
+    # --- input frame + boxes -------------------------------------------------
+    if "image" in own:
+        import cv2
+
+        frame = cv2.cvtColor(cv2.imread(own["image"]), cv2.COLOR_BGR2RGB).astype(
+            np.float32
+        )
+    else:
+        echo("no --image given; using a synthetic frame")
+        frame = np.random.default_rng(0).uniform(0, 255, (480, 640, 3)).astype(np.float32)
+
+    H, W = frame.shape[:2]
+    if "boxes" in own:
+        boxes = np.asarray(json.loads(Path(own["boxes"]).read_text()), np.float32)
+    else:
+        boxes = np.asarray([[W / 2, H / 2, min(H, W) * 0.9]], np.float32)
+    N = len(boxes)
+    echo(f"frame {W}x{H}, {N} person box(es)")
+
+    # --- model ---------------------------------------------------------------
+    smpl_model = build_smpl(config)
+    model = build_model(config)
+    variables = init_variables(config, model)
+    if "checkpoint" in own:
+        from human_3d_reconstruction_tpu.train.trainer import (
+            make_checkpoint_manager,
+        )
+        import orbax.checkpoint as ocp
+
+        mgr = make_checkpoint_manager(own["checkpoint"])
+        step = mgr.latest_step()
+        if step is not None:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    gen=ocp.args.StandardRestore(jax.device_get(variables))
+                ),
+            )["gen"]
+            variables = restored
+            echo(f"restored checkpoint step {step}")
+    smpl_params = smpl_device_params(config, smpl_model)
+    recover = make_recover_mesh(model, smpl_path=config.smpl_path)
+
+    # --- batched recovery (one device program for all N persons) -------------
+    frames = jnp.broadcast_to(jnp.asarray(frame), (N, H, W, 3))
+    centers = jnp.asarray(boxes[:, :2])
+    scales = jnp.asarray(boxes[:, 2])
+    crops = preprocess_crops(frames, centers, scales, out_size=config.data.crop_size)
+    out = recover(variables, smpl_params, crops)
+    verts = np.asarray(out.verts)
+    echo(
+        f"recovered {N} meshes: theta {out.theta.shape}, verts {verts.shape}, "
+        f"joints2d {out.joints2d.shape}"
+    )
+
+    # --- overlay render -------------------------------------------------------
+    overlay = overlay_meshes(
+        frame,
+        [verts[i] for i in range(N)],
+        np.asarray(smpl_model.faces),
+        cams=[np.asarray(out.cam[i]) for i in range(N)],
+        centers=[boxes[i, :2] for i in range(N)],
+        scales=[float(boxes[i, 2]) for i in range(N)],
+    )
+    out_path = own.get("out", "demo_overlay.png")
+    import cv2
+
+    cv2.imwrite(out_path, cv2.cvtColor(overlay.clip(0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    echo(f"wrote {out_path}")
+
+    # machine-readable outputs on stdout (theta/beta/joints for piping)
+    print(
+        json.dumps(
+            {
+                "num_persons": N,
+                "theta": np.asarray(out.theta).tolist(),
+                "beta": np.asarray(out.beta).tolist(),
+                "cam": np.asarray(out.cam).tolist(),
+                "overlay": out_path,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

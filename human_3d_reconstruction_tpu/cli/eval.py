@@ -1,0 +1,122 @@
+"""Evaluation CLI: Human3.6M protocol, MPJPE / PA-MPJPE (BASELINE config 4).
+
+Usage:
+    python -m human_3d_reconstruction_tpu.cli.eval h36m_eval \
+        [--eval.index_path=h36m_val.npz --checkpoint=dir] [overrides]
+
+Without --eval.index_path a synthetic eval stream is used (bring-up mode).
+Prints the per-action table to stderr and the summary JSON to stdout;
+writes the full report to --eval.report_path.
+
+Reference call-stack twin: eval.py (SURVEY.md section 3.4).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv: list[str]) -> None:
+    from human_3d_reconstruction_tpu.api import make_recover_mesh
+    from human_3d_reconstruction_tpu.cli.common import (
+        build_model,
+        build_smpl,
+        echo,
+        init_variables,
+        smpl_device_params,
+    )
+    from human_3d_reconstruction_tpu.config import load_config
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+    from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+    from human_3d_reconstruction_tpu.eval.protocol import (
+        load_eval_batches,
+        run_protocol,
+        synthetic_eval_batches,
+    )
+
+    own, overrides = {}, []
+    for a in argv:
+        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
+        if key == "checkpoint":
+            own[key] = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
+    config = load_config(overrides)
+
+    smpl_model = build_smpl(config)
+    model = build_model(config)
+    variables = init_variables(config, model)
+    if "checkpoint" in own:
+        import orbax.checkpoint as ocp
+
+        from human_3d_reconstruction_tpu.train.trainer import make_checkpoint_manager
+
+        mgr = make_checkpoint_manager(own["checkpoint"])
+        step = mgr.latest_step()
+        if step is not None:
+            variables = mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    gen=ocp.args.StandardRestore(jax.device_get(variables))
+                ),
+            )["gen"]
+            echo(f"restored checkpoint step {step}")
+    smpl_params = smpl_device_params(config, smpl_model)
+    recover = make_recover_mesh(model, smpl_path=config.smpl_path)
+
+    def run_model(images, centers, scales):
+        crops = preprocess_crops(
+            jnp.asarray(images), jnp.asarray(centers), jnp.asarray(scales),
+            out_size=config.data.crop_size,
+        )
+        return recover(variables, smpl_params, crops)
+
+    if config.preset == "batched_crops":
+        # BASELINE config 3: 2D reprojection / PCK eval on LSP/MPII-style data.
+        from human_3d_reconstruction_tpu.data.datasets import (
+            DATASET_REGISTRY,
+            SyntheticImageDataset,
+        )
+        from human_3d_reconstruction_tpu.eval.kp2d import (
+            kp2d_batches_from_dataset,
+            run_kp2d_eval,
+        )
+
+        if config.eval.index_path:
+            ds = DATASET_REGISTRY["lsp"](config.eval.index_path)
+            echo(f"kp2d eval on {config.eval.index_path}")
+        else:
+            ds = SyntheticImageDataset(smpl_model, n=32)
+            echo("no --eval.index_path: synthetic kp2d eval")
+        report = run_kp2d_eval(
+            lambda i, c, s: run_model(i, c, s).joints2d[:, :NUM_KP],
+            kp2d_batches_from_dataset(ds, config.eval.batch_size),
+            report_path=config.eval.report_path,
+        )
+        echo(f"mean L1 {report.mean_l1:.4f}  " + "  ".join(f"{k}={v:.3f}" for k, v in report.pck.items()))
+        print(report.to_json())
+        return
+
+    def predict_joints(images, centers, scales):
+        return run_model(images, centers, scales).eval_joints3d[:, :NUM_KP]
+
+    if config.eval.index_path:
+        batches = load_eval_batches(config.eval.index_path, config.eval.batch_size)
+        echo(f"evaluating {config.eval.index_path}")
+    else:
+        batches = synthetic_eval_batches(smpl_model, num_batches=4, batch_size=8)
+        echo("no --eval.index_path: synthetic eval stream")
+
+    report = run_protocol(predict_joints, batches, report_path=config.eval.report_path)
+    echo(report.table())
+    echo(f"report written to {config.eval.report_path}")
+    print(report.to_json())
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

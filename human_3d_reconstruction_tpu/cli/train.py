@@ -1,0 +1,143 @@
+"""Training CLI: alternating adversarial HMR training (BASELINE configs 2/3).
+
+Usage:
+    python -m human_3d_reconstruction_tpu.cli.train single_image \
+        [--total_steps=1000 --data.batch_size=32 ...]
+
+Data: real dataset indices via --data.sources='[["lsp", "path.npz", 1.0]]';
+without sources the synthetic dataset drives the loop (smoke/bring-up mode
+— no real data ships in this environment). Checkpoints via Orbax with
+auto-resume-latest; metrics stream to <checkpoint_dir>/train_log.jsonl.
+
+Reference call-stack twin: train.py main -> HMRTrainer.train (SURVEY.md
+section 3.1), rebuilt as one fused jitted step over a DP mesh.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv: list[str]) -> None:
+    from human_3d_reconstruction_tpu.cli.common import JSONLLogger, build_smpl, echo
+    from human_3d_reconstruction_tpu.config import load_config
+    from human_3d_reconstruction_tpu.data.datasets import (
+        DATASET_REGISTRY,
+        MixedLoader,
+        MoshParamSource,
+        SyntheticImageDataset,
+    )
+    from human_3d_reconstruction_tpu.parallel import make_mesh, replicate, shard_batch
+    from human_3d_reconstruction_tpu.train.trainer import (
+        create_states,
+        make_checkpoint_manager,
+        make_train_step,
+        restore_latest,
+        save_checkpoint,
+    )
+
+    config = load_config(argv)
+    echo(f"preset={config.preset} devices={jax.devices()}")
+
+    smpl_model = build_smpl(config)
+    smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+
+    # datasets
+    if config.data.sources:
+        datasets, weights = [], []
+        for name, path, weight in config.data.sources:
+            datasets.append(DATASET_REGISTRY[name](path))
+            weights.append(float(weight))
+        echo(f"training on {[d.name for d in datasets]} weights={weights}")
+    else:
+        datasets = [
+            SyntheticImageDataset(smpl_model, n=config.data.synthetic_size, seed=config.seed)
+        ]
+        weights = [1.0]
+        echo("no --data.sources: training on the synthetic dataset")
+    loader = iter(
+        MixedLoader(datasets, config.data.batch_size, weights, seed=config.seed)
+    )
+
+    mosh = (
+        MoshParamSource.from_npz(config.data.mosh_path)
+        if config.data.mosh_path
+        else MoshParamSource.synthetic(np.random.default_rng(config.seed))
+    )
+    mosh_rng = np.random.default_rng(config.seed + 1)
+
+    # states + step
+    train_cfg = config.train
+    if train_cfg.crop_size != config.data.crop_size:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(train_cfg, crop_size=config.data.crop_size)
+    gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+        train_cfg, jax.random.key(config.seed), smpl_model.as_dict()
+    )
+    step_fn = jax.jit(make_train_step(train_cfg, model, disc_mod, g_tx, d_tx))
+
+    mgr = make_checkpoint_manager(config.checkpoint_dir)
+    gen, disc, start_step = restore_latest(mgr, gen, disc)
+    if start_step:
+        echo(f"resumed from step {start_step}")
+
+    mesh = make_mesh()
+    gen = replicate(gen, mesh)
+    disc = replicate(disc, mesh)
+    smpl_params = replicate(smpl_params, mesh)
+
+    logger = JSONLLogger(f"{config.checkpoint_dir}/train_log.jsonl")
+    rng_key = jax.random.key(config.seed + 2)
+    t_last = time.perf_counter()
+
+    for step in range(start_step, config.total_steps):
+        batch = next(loader)
+        batch_dict = shard_batch(
+            {
+                "images": batch.images,
+                "centers": batch.centers,
+                "scales": batch.scales,
+                "kp2d": batch.kp2d,
+                "joints3d": batch.joints3d,
+                "has_3d": batch.has_3d,
+                "theta": batch.theta,
+                "beta": batch.beta,
+                "has_smpl": batch.has_smpl,
+            },
+            mesh,
+        )
+        mt, mb = mosh.sample(mosh_rng, config.data.batch_size)
+        gen, disc, metrics = step_fn(
+            gen, disc, smpl_params, batch_dict, jnp.asarray(mt), jnp.asarray(mb), rng_key
+        )
+
+        if (step + 1) % config.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = (time.perf_counter() - t_last) / config.log_every
+            t_last = time.perf_counter()
+            m["steps_per_sec"] = 1.0 / dt
+            m["images_per_sec"] = config.data.batch_size / dt
+            logger.log(step + 1, **m)
+            echo(
+                f"step {step + 1}: loss_g={m['loss_g']:.4f} "
+                + (f"loss_d={m['loss_d']:.4f} " if "loss_d" in m else "")
+                + f"({m['images_per_sec']:.1f} img/s)"
+            )
+        if (step + 1) % config.save_every == 0 or step + 1 == config.total_steps:
+            save_checkpoint(mgr, step + 1, gen, disc)
+            echo(f"saved checkpoint at step {step + 1}")
+
+    mgr.wait_until_finished()
+    logger.close()
+    echo("training done")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

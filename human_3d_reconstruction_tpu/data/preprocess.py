@@ -151,6 +151,56 @@ def normalize_image(images: jax.Array) -> jax.Array:
     return jnp.asarray(images, dtype=jnp.float32) * PIXEL_SCALE + PIXEL_BIAS
 
 
+def _interp_matrix(src_coords: jax.Array, src_size: int) -> jax.Array:
+    """Rows of bilinear interpolation weights: (out, src_size).
+
+    Row i holds hat-function weights centered at src_coords[i]; coordinates
+    outside [0, src_size-1] naturally get (partially) zero rows, matching
+    the gather path's zero padding.
+    """
+    grid = jax.lax.broadcasted_iota(jnp.float32, (src_coords.shape[0], src_size), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src_coords[:, None] - grid))
+
+
+def separable_crop(
+    image: jax.Array,
+    center: jax.Array,
+    scale: jax.Array,
+    flip: jax.Array | float = 0.0,
+    out_size: int = CROP_SIZE,
+) -> jax.Array:
+    """Axis-aligned crop+resize(+mirror) as two 1-D interpolation MATMULS.
+
+    Bilinear resampling without rotation is separable: out = Ry @ img @ Rx^T
+    with per-sample (out, H)/(out, W) hat-weight matrices. This moves the
+    hot inference preprocessing from 4-tap gathers (VPU-bound, ~135 ms for
+    64x224x224 in bring-up) onto the MXU (~10 GFLOP, sub-ms). Exactly
+    matches `affine_crop` with rot=0 (same map, same zero padding).
+    """
+    image = jnp.asarray(image, jnp.float32)
+    H, W = image.shape[0], image.shape[1]
+    s = jnp.asarray(scale, jnp.float32) / out_size
+    c = jnp.asarray(center, jnp.float32)
+    fx = jnp.where(jnp.asarray(flip, jnp.float32) > 0, -1.0, 1.0)
+
+    offs = (
+        jax.lax.broadcasted_iota(jnp.float32, (out_size, 1), 0).squeeze(-1)
+        - out_size / 2
+        + 0.5
+    )
+    src_x = c[0] + s * offs * fx  # (out,)
+    src_y = c[1] + s * offs
+
+    Ry = _interp_matrix(src_y, H)  # (out, H)
+    Rx = _interp_matrix(src_x, W)  # (out, W)
+    tmp = jnp.einsum(
+        "oh,hwc->owc", Ry, image, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "pw,owc->opc", Rx, tmp, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def preprocess_crops(
     images: jax.Array,
@@ -170,9 +220,18 @@ def preprocess_crops(
 
     Returns:
         (N, out_size, out_size, C) normalized crops in [-1, 1].
+
+    Fast path: without rotation (rots is None — a STATIC choice) the crop
+    is separable and runs as MXU matmuls (`separable_crop`); the general
+    gather path only serves rotation augmentation in training.
     """
     N = images.shape[0]
-    rots = jnp.zeros((N,), jnp.float32) if rots is None else rots
+    if rots is None:
+        flips = jnp.zeros((N,), jnp.float32) if flips is None else flips
+        crops = jax.vmap(partial(separable_crop, out_size=out_size))(
+            images, centers, scales, flips
+        )
+        return normalize_image(crops)
     flips = jnp.zeros((N,), jnp.float32) if flips is None else flips
     crops = jax.vmap(partial(affine_crop, out_size=out_size))(
         images, centers, scales, rots, flips

@@ -1,0 +1,183 @@
+"""Human3.6M-style evaluation protocol (BASELINE config 4).
+
+Reference parity (SURVEY.md section 3.4): per-frame batched inference over
+the eval set, 14-joint LSP-subset comparison, root-aligned MPJPE and
+Procrustes-aligned PA-MPJPE in millimetres, aggregated per action and
+overall. The whole scoring path (projection-free; 3D only) runs on device;
+only decode/batching is host-side.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+from human_3d_reconstruction_tpu.eval.metrics import mpjpe, pa_mpjpe
+
+H36M_EVAL_ACTIONS = (
+    "Directions", "Discussion", "Eating", "Greeting", "Phoning", "Photo",
+    "Posing", "Purchases", "Sitting", "SittingDown", "Smoking", "Waiting",
+    "WalkDog", "Walking", "WalkTogether",
+)
+
+
+@dataclass
+class EvalBatch:
+    images: np.ndarray    # (B, H, W, 3) [0,255] raw frames
+    centers: np.ndarray   # (B, 2)
+    scales: np.ndarray    # (B,)
+    gt_joints3d: np.ndarray  # (B, 14, 3) meters, root-relative
+    actions: np.ndarray   # (B,) int indices into the action table
+
+
+@dataclass
+class EvalReport:
+    mpjpe_mm: float
+    pa_mpjpe_mm: float
+    per_action: dict[str, dict[str, float]]
+    num_frames: int
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "mpjpe_mm": self.mpjpe_mm,
+                "pa_mpjpe_mm": self.pa_mpjpe_mm,
+                "per_action": self.per_action,
+                "num_frames": self.num_frames,
+            },
+            indent=2,
+        )
+
+    def table(self) -> str:
+        """Human-readable per-action table (the reference prints one)."""
+        lines = [f"{'action':<14} {'MPJPE(mm)':>10} {'PA-MPJPE(mm)':>13} {'frames':>7}"]
+        for name, row in sorted(self.per_action.items()):
+            lines.append(
+                f"{name:<14} {row['mpjpe_mm']:>10.1f} {row['pa_mpjpe_mm']:>13.1f} "
+                f"{int(row['frames']):>7}"
+            )
+        lines.append(
+            f"{'ALL':<14} {self.mpjpe_mm:>10.1f} {self.pa_mpjpe_mm:>13.1f} "
+            f"{self.num_frames:>7}"
+        )
+        return "\n".join(lines)
+
+
+def run_protocol(
+    predict_joints: Callable[[np.ndarray, np.ndarray, np.ndarray], jax.Array],
+    batches: Iterator[EvalBatch],
+    actions: Sequence[str] = H36M_EVAL_ACTIONS,
+    report_path: Optional[str | Path] = None,
+) -> EvalReport:
+    """Score a predictor over an eval stream.
+
+    Args:
+        predict_joints: (images, centers, scales) -> (B, 14, 3) predicted
+            3D joints (meters). Typically preprocess+HMR+SMPL jitted.
+        batches: EvalBatch iterator (one pass).
+    """
+    per_action_err: dict[int, list[tuple[float, float, int]]] = {}
+    total_frames = 0
+
+    # Per-sample device metric fns (jitted once; shapes are static per batch).
+    @jax.jit
+    def score(pred, gt):
+        # per-sample errors so action bucketing stays exact
+        def one(p, g):
+            return (
+                mpjpe(p[None], g[None]) * 1000.0,
+                pa_mpjpe(p[None], g[None]) * 1000.0,
+            )
+
+        return jax.vmap(one)(pred, gt)
+
+    for batch in batches:
+        pred = predict_joints(batch.images, batch.centers, batch.scales)
+        pred = jnp.asarray(pred)
+        gt = jnp.asarray(batch.gt_joints3d)
+        assert pred.shape == gt.shape == (len(batch.actions), NUM_KP, 3), (
+            pred.shape,
+            gt.shape,
+        )
+        e_mpjpe, e_pa = jax.device_get(score(pred, gt))
+        for i, act in enumerate(batch.actions):
+            per_action_err.setdefault(int(act), []).append(
+                (float(e_mpjpe[i]), float(e_pa[i]), 1)
+            )
+        total_frames += len(batch.actions)
+
+    per_action = {}
+    all_mpjpe, all_pa = [], []
+    for act_idx, rows in sorted(per_action_err.items()):
+        m = float(np.mean([r[0] for r in rows]))
+        p = float(np.mean([r[1] for r in rows]))
+        name = actions[act_idx] if act_idx < len(actions) else f"action{act_idx}"
+        per_action[name] = {"mpjpe_mm": m, "pa_mpjpe_mm": p, "frames": len(rows)}
+        all_mpjpe.extend(r[0] for r in rows)
+        all_pa.extend(r[1] for r in rows)
+
+    report = EvalReport(
+        mpjpe_mm=float(np.mean(all_mpjpe)) if all_mpjpe else float("nan"),
+        pa_mpjpe_mm=float(np.mean(all_pa)) if all_pa else float("nan"),
+        per_action=per_action,
+        num_frames=total_frames,
+    )
+    if report_path is not None:
+        Path(report_path).write_text(report.to_json())
+    return report
+
+
+def synthetic_eval_batches(
+    smpl_model, num_batches: int = 4, batch_size: int = 8, seed: int = 0
+) -> Iterator[EvalBatch]:
+    """Synthetic H36M-style eval stream (no real data in this image)."""
+    from human_3d_reconstruction_tpu.data.datasets import SyntheticImageDataset
+
+    ds = SyntheticImageDataset(
+        smpl_model, n=num_batches * batch_size, frame_hw=(256, 256), seed=seed
+    )
+    rng = np.random.default_rng(seed)
+    for b in range(num_batches):
+        idx = range(b * batch_size, (b + 1) * batch_size)
+        recs = [ds[i] for i in idx]
+        yield EvalBatch(
+            images=np.stack([r.image for r in recs]),
+            centers=np.stack([r.center for r in recs]),
+            scales=np.stack([r.scale for r in recs]),
+            gt_joints3d=np.stack([r.joints3d for r in recs]),
+            actions=rng.integers(0, len(H36M_EVAL_ACTIONS), size=batch_size),
+        )
+
+
+def load_eval_batches(
+    index_path: str | Path, batch_size: int = 64
+) -> Iterator[EvalBatch]:
+    """Stream eval batches from an h36m-style npz index (see datasets.py)."""
+    from human_3d_reconstruction_tpu.data.datasets import Human36MDataset, collate
+
+    ds = Human36MDataset(index_path)
+    z = np.load(str(index_path), allow_pickle=True)
+    actions = (
+        z["actions"].astype(np.int64)
+        if "actions" in z
+        else np.zeros(len(ds), np.int64)
+    )
+    for start in range(0, len(ds), batch_size):
+        idx = range(start, min(start + batch_size, len(ds)))
+        recs = [ds[i] for i in idx]
+        batch = collate(recs)
+        yield EvalBatch(
+            images=batch.images,
+            centers=batch.centers,
+            scales=batch.scales,
+            gt_joints3d=batch.joints3d,
+            actions=actions[list(idx)],
+        )

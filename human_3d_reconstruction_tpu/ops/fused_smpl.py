@@ -201,7 +201,7 @@ def _fused_core(
         prepared["basis"],
         prepared["weightsT"],
         At,
-        prepared["vert_tile"],
+        _static_vert_tile(prepared),
         interpret,
     )  # (B, 3, Vp)
     return verts_cm, rotations, transforms, rest_joints
@@ -209,6 +209,25 @@ def _fused_core(
 
 def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _static_int(prepared: dict, key: str, default: int) -> int:
+    """Read an int that must be concrete at trace time; fall back to the
+    default when the params dict is a traced jit argument."""
+    val = prepared.get(key)
+    if val is None or isinstance(val, jax.core.Tracer):
+        return default
+    return int(val)
+
+
+def _static_vert_tile(prepared: dict) -> int:
+    """Tile size from the (always-static) padded basis shape."""
+    Vp = prepared["basis"].shape[2]
+    tile = _static_int(prepared, "vert_tile", default=VERT_TILE)
+    if Vp % tile != 0:  # prepared with a custom tile that got traced away
+        tile = VERT_TILE
+    assert Vp % tile == 0, (Vp, tile)
+    return tile
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -235,7 +254,9 @@ def smpl_forward_fused(
     prepared = params if "basis" in params else prepare_fused_smpl(params)
     parents = resolve_parents(prepared)
     interpret = _is_cpu()
-    V = prepared["num_verts"]
+    # Static metadata must not come from dict leaves (they become tracers
+    # when the dict is a jit argument): derive from static shapes/constants.
+    V = _static_int(prepared, "num_verts", default=6890)
 
     def forward(pose, betas):
         verts_cm, rotations, transforms, rest_joints = _fused_core(

@@ -133,3 +133,41 @@ class TestBatchedPreprocess:
     def test_normalize_image(self):
         x = jnp.asarray([0.0, 127.5, 255.0])
         np.testing.assert_allclose(np.asarray(normalize_image(x)), [-1.0, 0.0, 1.0], atol=1e-6)
+
+
+class TestSeparableFastPath:
+    def test_matches_gather_path(self, rng):
+        """separable_crop == affine_crop at rot=0, incl. flip and borders."""
+        from human_3d_reconstruction_tpu.data.preprocess import separable_crop
+
+        img = make_image(rng)
+        for center, scale, flip in [
+            ([80.0, 60.0], 90.0, 0.0),
+            ([80.0, 60.0], 90.0, 1.0),
+            ([10.0, 5.0], 120.0, 0.0),   # heavy out-of-bounds
+            ([150.0, 110.0], 40.0, 1.0),
+        ]:
+            a = np.asarray(
+                affine_crop(jnp.asarray(img), jnp.asarray(center), jnp.asarray(scale),
+                            flip=flip, out_size=48)
+            )
+            b = np.asarray(
+                separable_crop(jnp.asarray(img), jnp.asarray(center), jnp.asarray(scale),
+                               flip=flip, out_size=48)
+            )
+            np.testing.assert_allclose(a, b, atol=1e-3, err_msg=str((center, scale, flip)))
+
+    def test_preprocess_crops_uses_fast_path_consistently(self, rng):
+        """Batched entry point: rots=None (fast) == rots=zeros (gather)."""
+        imgs = np.stack([make_image(rng) for _ in range(2)])
+        centers = np.tile(np.array([[80.0, 60.0]], np.float32), (2, 1))
+        scales = np.array([90.0, 100.0], np.float32)
+        fast = np.asarray(
+            preprocess_crops(jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales),
+                             out_size=48)
+        )
+        slow = np.asarray(
+            preprocess_crops(jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales),
+                             rots=jnp.zeros((2,)), out_size=48)
+        )
+        np.testing.assert_allclose(fast, slow, atol=2e-5)
