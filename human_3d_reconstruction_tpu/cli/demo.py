@@ -92,11 +92,21 @@ def main(argv: list[str]) -> None:
     recover = make_recover_mesh(model, smpl_path=config.smpl_path)
 
     # --- batched recovery (one device program for all N persons) -------------
-    frames = jnp.broadcast_to(jnp.asarray(frame), (N, H, W, 3))
-    centers = jnp.asarray(boxes[:, :2])
-    scales = jnp.asarray(boxes[:, 2])
-    crops = preprocess_crops(frames, centers, scales, out_size=config.data.crop_size)
+    # Bucketed padding: any crowd size reuses one of ~8 compiled programs
+    # instead of retracing per N (SURVEY.md section 7 "Hard parts").
+    from human_3d_reconstruction_tpu.utils.bucketing import pad_people
+
+    padded, mask = pad_people(
+        {"centers": boxes[:, :2], "scales": boxes[:, 2]}, n_valid=N
+    )
+    B = len(mask)
+    frames = jnp.broadcast_to(jnp.asarray(frame), (B, H, W, 3))
+    crops = preprocess_crops(
+        frames, jnp.asarray(padded["centers"]), jnp.asarray(padded["scales"]),
+        out_size=config.data.crop_size,
+    )
     out = recover(variables, smpl_params, crops)
+    out = jax.tree.map(lambda x: x[:N], out)  # drop padded persons
     verts = np.asarray(out.verts)
     echo(
         f"recovered {N} meshes: theta {out.theta.shape}, verts {verts.shape}, "

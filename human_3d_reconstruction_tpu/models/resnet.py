@@ -47,7 +47,12 @@ class BottleneckBlock(nn.Module):
         y = self.conv(self.filters, (1, 1), name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), strides=(self.strides, self.strides), name="conv2")(y)
+        # Explicit symmetric padding: SAME pads asymmetrically under stride 2,
+        # which diverges from the canonical (and torch) ResNet definition.
+        y = self.conv(
+            self.filters, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)], name="conv2",
+        )(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1), name="conv3")(y)

@@ -1,0 +1,165 @@
+"""Import PyTorch HMR checkpoints into this framework's Flax params.
+
+Reference parity bridge: users of the reference (a torch codebase) hold
+torch ``state_dict`` checkpoints — ResNet-50 encoder (torchvision naming:
+``conv1/bn1/layer{1..4}.{k}.conv{1..3}/bn{1..3}/downsample``) plus the IEF
+regressor FCs. This converts them to our Flax tree so trained weights carry
+over without retraining:
+
+    variables = import_torch_hmr_state_dict(state, variables_template)
+
+Layout notes (why each transpose exists):
+- torch conv weight (O, I, kH, kW) -> flax NHWC kernel (kH, kW, I, O)
+- torch linear weight (O, I)       -> flax kernel (I, O)
+- torch BatchNorm weight/bias -> flax scale/bias; running stats -> batch_stats
+
+The numerical contract is tested by converting `benchmarks/torch_reference
+.TorchHMR` (same architecture, independently written in torch) and
+asserting the forward outputs match to f32 tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t, np.float32)
+
+
+def _conv(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _linear(w) -> np.ndarray:
+    return _np(w).T  # (O, I) -> (I, O)
+
+
+# Our stage/block naming: stage{1..4}_block{1..count}; torchvision (and the
+# bench reference's flat `body.{idx}`) order blocks sequentially.
+_STAGE_SIZES = (3, 4, 6, 3)
+
+
+def _iter_blocks():
+    for stage, count in enumerate(_STAGE_SIZES, start=1):
+        for block in range(1, count + 1):
+            yield stage, block
+
+
+def import_torch_resnet50(
+    state: Mapping[str, Any], prefix_style: str = "torchvision"
+) -> tuple[dict, dict]:
+    """torch ResNet-50 state_dict -> (flax params, batch_stats) subtrees.
+
+    prefix_style:
+      'torchvision' — conv1., bn1., layer{s}.{b}.conv{k}/bn{k}/downsample.{0,1}
+      'bench'       — benchmarks.torch_reference.TorchHMR naming:
+                      stem.{0,1}, body.{idx}.conv{k}/bn{k}/down.{0,1}
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(name: str, tkey: str):
+        params[name] = {"scale": _np(state[f"{tkey}.weight"]), "bias": _np(state[f"{tkey}.bias"])}
+        stats[name] = {
+            "mean": _np(state[f"{tkey}.running_mean"]),
+            "var": _np(state[f"{tkey}.running_var"]),
+        }
+
+    if prefix_style == "torchvision":
+        stem_conv, stem_bn = "conv1", "bn1"
+
+        def block_key(stage, block):
+            return f"layer{stage}.{block - 1}"
+
+        down_conv, down_bn = "downsample.0", "downsample.1"
+    elif prefix_style == "bench":
+        stem_conv, stem_bn = "stem.0", "stem.1"
+        flat = {}
+        idx = 0
+        for stage, block in _iter_blocks():
+            flat[(stage, block)] = f"body.{idx}"
+            idx += 1
+
+        def block_key(stage, block):
+            return flat[(stage, block)]
+
+        down_conv, down_bn = "down.0", "down.1"
+    else:
+        raise ValueError(prefix_style)
+
+    params["conv_init"] = {"kernel": _conv(state[f"{stem_conv}.weight"])}
+    put_bn("bn_init", stem_bn)
+
+    for stage, block in _iter_blocks():
+        base = block_key(stage, block)
+        ours = f"stage{stage}_block{block}"
+        sub: dict = {}
+        for k in (1, 2, 3):
+            sub[f"conv{k}"] = {"kernel": _conv(state[f"{base}.conv{k}.weight"])}
+        params[ours] = sub
+        # BN subtrees live inside the block in our tree:
+        block_stats: dict = {}
+        for k in (1, 2, 3):
+            tkey = f"{base}.bn{k}"
+            sub[f"bn{k}"] = {
+                "scale": _np(state[f"{tkey}.weight"]),
+                "bias": _np(state[f"{tkey}.bias"]),
+            }
+            block_stats[f"bn{k}"] = {
+                "mean": _np(state[f"{tkey}.running_mean"]),
+                "var": _np(state[f"{tkey}.running_var"]),
+            }
+        if f"{base}.{down_conv}.weight" in state:
+            sub["conv_proj"] = {"kernel": _conv(state[f"{base}.{down_conv}.weight"])}
+            sub["bn_proj"] = {
+                "scale": _np(state[f"{base}.{down_bn}.weight"]),
+                "bias": _np(state[f"{base}.{down_bn}.bias"]),
+            }
+            block_stats["bn_proj"] = {
+                "mean": _np(state[f"{base}.{down_bn}.running_mean"]),
+                "var": _np(state[f"{base}.{down_bn}.running_var"]),
+            }
+        stats[ours] = block_stats
+
+    return params, stats
+
+
+def import_torch_hmr_state_dict(
+    state: Mapping[str, Any],
+    variables_template: Any,
+    encoder_prefix: str = "encoder.",
+    regressor_keys: tuple = ("fc1", "fc2", "out"),
+    prefix_style: str = "bench",
+) -> Any:
+    """Full HMR import: encoder + IEF regressor FCs -> flax variables dict.
+
+    variables_template provides the expected tree (from model.init); we
+    replace leaves so any structure mismatch fails loudly via chex.
+    """
+    import chex
+    import jax
+
+    enc_state = {
+        k[len(encoder_prefix):]: v for k, v in state.items() if k.startswith(encoder_prefix)
+    }
+    enc_params, enc_stats = import_torch_resnet50(enc_state, prefix_style=prefix_style)
+
+    reg_params = {}
+    for ours, theirs in zip(("fc1", "fc2", "fc_out"), regressor_keys):
+        reg_params[ours] = {
+            "kernel": _linear(state[f"{theirs}.weight"]),
+            "bias": _np(state[f"{theirs}.bias"]),
+        }
+
+    new_vars = {
+        "params": {"encoder": enc_params, "regressor": reg_params},
+        "batch_stats": {"encoder": enc_stats},
+    }
+    # Validate against the template (same treedef + shapes/dtypes).
+    template_arrays = jax.tree.map(np.asarray, variables_template)
+    chex.assert_trees_all_equal_structs(new_vars, template_arrays)
+    chex.assert_trees_all_equal_shapes(new_vars, template_arrays)
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), new_vars)

@@ -1,0 +1,89 @@
+"""Torch-checkpoint import: converted weights reproduce torch outputs.
+
+The strongest cross-framework test in the suite: the torch reference
+pipeline (benchmarks/torch_reference.TorchHMR — independently written) is
+converted to Flax variables, and both frameworks must produce the same
+features/params for the same images.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks.torch_reference import TorchHMR, TorchResNet50
+from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel, ResNet50
+from human_3d_reconstruction_tpu.models.regressor import default_mean_params
+from human_3d_reconstruction_tpu.utils.torch_import import (
+    import_torch_hmr_state_dict,
+    import_torch_resnet50,
+)
+from tests.oracle_smpl_torch import SMPLOracle
+
+
+@pytest.fixture(scope="module")
+def torch_model(smpl_model):
+    torch.manual_seed(0)
+    m = TorchHMR(SMPLOracle(smpl_model)).eval()
+    # align IEF seed with our default mean params (cam scale 0.9)
+    m.mean_params.copy_(torch.from_numpy(np.asarray(default_mean_params())))
+    return m
+
+
+class TestResNetImport:
+    def test_features_match(self, torch_model, rng):
+        images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+
+        flax_model = ResNet50()
+        template = flax_model.init(jax.random.key(0), jnp.asarray(images))
+        enc_state = {
+            k[len("encoder."):]: v
+            for k, v in torch_model.state_dict().items()
+            if k.startswith("encoder.")
+        }
+        params, stats = import_torch_resnet50(enc_state, prefix_style="bench")
+        variables = {"params": params, "batch_stats": stats}
+
+        ours = np.asarray(flax_model.apply(variables, jnp.asarray(images)))
+        with torch.no_grad():
+            theirs = (
+                torch_model.encoder(torch.from_numpy(images).permute(0, 3, 1, 2))
+                .numpy()
+            )
+        np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+class TestFullHMRImport:
+    def test_params_match_torch_pipeline(self, torch_model, smpl_model, rng):
+        images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+
+        model = HMRModel(config=HMRConfig())
+        template = model.init(jax.random.key(0), jnp.asarray(images))
+        variables = import_torch_hmr_state_dict(
+            torch_model.state_dict(), template, prefix_style="bench"
+        )
+        out = model.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(images))
+
+        # torch side: run encoder + IEF manually (TorchHMR.forward also does
+        # SMPL; replicate just the param stream).
+        with torch.no_grad():
+            timg = torch.from_numpy(images).permute(0, 3, 1, 2)
+            feat = torch_model.encoder(timg)
+            params = torch_model.mean_params.expand(2, -1)
+            for _ in range(3):
+                x = torch.relu(torch_model.fc1(torch.cat([feat, params], dim=1)))
+                x = torch.relu(torch_model.fc2(x))
+                params = params + torch_model.out(x)
+        np.testing.assert_allclose(
+            np.asarray(out.all_params[-1]), params.numpy(), atol=5e-3, rtol=1e-3
+        )
+
+    def test_structure_mismatch_fails_loudly(self, torch_model, rng):
+        model = HMRModel(config=HMRConfig(num_iterations=3, hidden_size=512))
+        template = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        with pytest.raises((AssertionError, ValueError)):
+            import_torch_hmr_state_dict(
+                torch_model.state_dict(), template, prefix_style="bench"
+            )
