@@ -28,8 +28,17 @@ from human_3d_reconstruction_tpu.models.resnet import ResNet50, ResNetConfig
 class HMRConfig:
     num_iterations: int = 3
     hidden_size: int = 1024
+    encoder: str = "resnet50"  # resnet18/34/50/101 | hourglass
     encoder_dtype: Any = jnp.float32  # bf16 for max throughput
     dropout_rate: float = 0.0
+
+
+_RESNET_STAGES = {
+    "resnet18": (2, 2, 2, 2),   # note: still bottleneck blocks (2048-d out)
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+}
 
 
 class HMROutput(NamedTuple):
@@ -49,9 +58,22 @@ class HMRModel(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> HMROutput:
         cfg = self.config
-        features = ResNet50(
-            config=ResNetConfig(dtype=cfg.encoder_dtype), name="encoder"
-        )(images, train=train)
+        if cfg.encoder == "hourglass":
+            from human_3d_reconstruction_tpu.models.hourglass import (
+                HourglassConfig,
+                HourglassEncoder,
+            )
+
+            features = HourglassEncoder(
+                config=HourglassConfig(dtype=cfg.encoder_dtype), name="encoder"
+            )(images, train=train)
+        else:
+            features = ResNet50(
+                config=ResNetConfig(
+                    stage_sizes=_RESNET_STAGES[cfg.encoder], dtype=cfg.encoder_dtype
+                ),
+                name="encoder",
+            )(images, train=train)
         all_params = IEFRegressor(
             num_iterations=cfg.num_iterations,
             hidden_size=cfg.hidden_size,

@@ -89,3 +89,23 @@ class TestFusedEquivalence:
         pose, betas = random_inputs(rng, 1)
         fused = smpl_forward_fused(prepared, pose, betas)
         assert fused.verts.shape[1] == smpl_model.v_template.shape[0]
+
+
+class TestBF16Basis:
+    def test_bf16_basis_within_parity_bar(self, smpl_model, rng):
+        """bf16 blendshape basis: looser than the twin bar (2e-5) but far
+        inside the BASELINE 1e-3 m parity bar."""
+        from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+
+        prepared16 = prepare_fused_smpl(smpl_model.as_dict(), basis_dtype=jnp.bfloat16)
+        pose, betas = random_inputs(rng, 4)
+        ref = smpl_forward(smpl_model.as_dict(), pose, betas)
+        fused16 = smpl_forward_fused(prepared16, pose, betas)
+
+        err = float(jnp.abs(fused16.verts - ref.verts).max())
+        assert err < 1e-3, err  # max tail ~0.7 mm observed; bar is 1 mm
+        mean_err = float(jnp.abs(fused16.verts - ref.verts).mean())
+        assert mean_err < 1e-4, mean_err  # typical error ~0.03 mm
+        # joints come from the f32 folded regressor: still tight
+        jerr = float(jnp.abs(fused16.joints - ref.joints).max())
+        assert jerr < 1e-5, jerr

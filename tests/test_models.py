@@ -141,3 +141,30 @@ class TestEndToEnd:
         fn(vars_, smpl_params, images)
         fn(vars_, smpl_params, images + 1.0)
         assert traces == 1
+
+
+class TestEncoderVariants:
+    def test_hourglass_feature_contract(self, rng):
+        from human_3d_reconstruction_tpu.models.hourglass import HourglassEncoder
+
+        images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        enc = HourglassEncoder()
+        vars_ = enc.init(jax.random.key(0), images)
+        feat = enc.apply(vars_, images)
+        assert feat.shape == (2, 2048)
+        assert np.all(np.isfinite(np.asarray(feat)))
+
+    def test_hmr_with_hourglass(self, rng):
+        model = HMRModel(config=HMRConfig(encoder="hourglass"))
+        images = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        vars_ = model.init(jax.random.key(0), images)
+        out = model.apply(vars_, images)
+        assert out.theta.shape == (1, 72)
+
+    def test_resnet101_variant(self, rng):
+        from human_3d_reconstruction_tpu.models import ResNet50, ResNetConfig
+
+        enc = ResNet50(config=ResNetConfig(stage_sizes=(1, 1, 1, 1)))  # tiny proxy
+        images = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        vars_ = enc.init(jax.random.key(0), images)
+        assert enc.apply(vars_, images).shape == (1, 2048)
