@@ -122,6 +122,14 @@ def main(argv: list[str]) -> None:
         centers=[boxes[i, :2] for i in range(N)],
         scales=[float(boxes[i, 2]) for i in range(N)],
     )
+    # Projected 2D keypoints + skeleton on top of the meshes.
+    from human_3d_reconstruction_tpu.viz.draw import crop_coords_to_pixels, draw_keypoints
+
+    for i in range(N):
+        kp_px = crop_coords_to_pixels(
+            np.asarray(out.joints2d[i][:14]), boxes[i, :2], float(boxes[i, 2])
+        )
+        overlay = draw_keypoints(overlay, kp_px)
     out_path = own.get("out", "demo_overlay.png")
     import cv2
 

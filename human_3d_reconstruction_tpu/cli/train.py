@@ -37,7 +37,7 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.train.trainer import (
         create_states,
         make_checkpoint_manager,
-        make_train_step,
+        make_jitted_train_step,
         restore_latest,
         save_checkpoint,
     )
@@ -81,7 +81,7 @@ def main(argv: list[str]) -> None:
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
         train_cfg, jax.random.key(config.seed), smpl_model.as_dict()
     )
-    step_fn = jax.jit(make_train_step(train_cfg, model, disc_mod, g_tx, d_tx))
+    step_fn = make_jitted_train_step(train_cfg, model, disc_mod, g_tx, d_tx)
 
     mgr = make_checkpoint_manager(config.checkpoint_dir)
     gen, disc, start_step = restore_latest(mgr, gen, disc)
@@ -97,22 +97,28 @@ def main(argv: list[str]) -> None:
     rng_key = jax.random.key(config.seed + 2)
     t_last = time.perf_counter()
 
+    # Prefetch: host collate + H2D overlap with the device step.
+    from human_3d_reconstruction_tpu.data.prefetch import device_prefetch
+
+    def to_dict(batch):
+        return {
+            "images": batch.images,
+            "centers": batch.centers,
+            "scales": batch.scales,
+            "kp2d": batch.kp2d,
+            "joints3d": batch.joints3d,
+            "has_3d": batch.has_3d,
+            "theta": batch.theta,
+            "beta": batch.beta,
+            "has_smpl": batch.has_smpl,
+        }
+
+    batches = device_prefetch(
+        map(to_dict, loader), place=lambda b: shard_batch(b, mesh)
+    )
+
     for step in range(start_step, config.total_steps):
-        batch = next(loader)
-        batch_dict = shard_batch(
-            {
-                "images": batch.images,
-                "centers": batch.centers,
-                "scales": batch.scales,
-                "kp2d": batch.kp2d,
-                "joints3d": batch.joints3d,
-                "has_3d": batch.has_3d,
-                "theta": batch.theta,
-                "beta": batch.beta,
-                "has_smpl": batch.has_smpl,
-            },
-            mesh,
-        )
+        batch_dict = next(batches)
         mt, mb = mosh.sample(mosh_rng, config.data.batch_size)
         gen, disc, metrics = step_fn(
             gen, disc, smpl_params, batch_dict, jnp.asarray(mt), jnp.asarray(mb), rng_key

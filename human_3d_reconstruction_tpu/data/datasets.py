@@ -214,6 +214,7 @@ class SyntheticImageDataset:
     has_smpl_gt = True
 
     def __init__(self, smpl_model, n: int = 64, frame_hw=(256, 256), seed: int = 0):
+        import jax
         import jax.numpy as jnp
 
         from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
@@ -223,10 +224,11 @@ class SyntheticImageDataset:
         self.frame_hw = frame_hw
         self.thetas = rng.normal(scale=0.3, size=(n, 72)).astype(np.float32)
         self.betas = rng.normal(scale=0.8, size=(n, 10)).astype(np.float32)
-        out = smpl_forward(
-            {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()},
-            jnp.asarray(self.thetas),
-            jnp.asarray(self.betas),
+        params = {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()}
+        # jit: eager dispatch of the many small SMPL ops costs minutes over
+        # a high-latency device tunnel; one compiled call is a single trip.
+        out = jax.jit(lambda p, b: smpl_forward(params, p, b))(
+            jnp.asarray(self.thetas), jnp.asarray(self.betas)
         )
         # 14-kp subset of eval joints (first 14 of cocoplus ordering).
         j3d = np.array(out.eval_joints[:, :NUM_KP])  # copy: jax arrays are read-only views

@@ -192,6 +192,122 @@ def _lbs_pallas_call(
     )(coeffs, template, dirs, weightsT, At)
 
 
+def _lbs_bwd_kernel(
+    coeffs_ref, template_ref, dirs_ref, wT_ref, At_ref, g_ref,
+    gcoeffs_ref, gAt_ref,
+):
+    """Backward of `_lbs_kernel`: cotangents for (coeffs, At).
+
+    Recomputes the tile's v_posed and T (two cheap matmuls) instead of
+    storing them, then reduces into the (grid-constant) output blocks —
+    the TPU grid is sequential, so += accumulation across tiles is safe.
+    """
+    i = pl.program_id(0)
+    n_dirs = dirs_ref.shape[0]
+    tile = dirs_ref.shape[2]
+    B = coeffs_ref.shape[0]
+
+    dirs2d = dirs_ref[:].reshape(n_dirs, 3 * tile)
+    coeffs = coeffs_ref[:].astype(dirs2d.dtype)
+    prec = _HI if dirs2d.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    disp = jnp.dot(coeffs, dirs2d, preferred_element_type=jnp.float32, precision=prec)
+    v_posed = (template_ref[:].reshape(1, 3 * tile) + disp).reshape(B, 3, tile)
+    T = jnp.dot(
+        At_ref[:], wT_ref[:], preferred_element_type=jnp.float32, precision=_HI
+    ).reshape(B, 16, tile)
+
+    g = g_ref[:]  # (B, 3, tile) cotangent of the output verts
+    g0, g1, g2 = g[:, 0], g[:, 1], g[:, 2]
+    x, y, z = v_posed[:, 0], v_posed[:, 1], v_posed[:, 2]
+
+    # d/d v_posed: transpose of the affine apply.
+    gx = T[:, 0] * g0 + T[:, 4] * g1 + T[:, 8] * g2
+    gy = T[:, 1] * g0 + T[:, 5] * g1 + T[:, 9] * g2
+    gz = T[:, 2] * g0 + T[:, 6] * g1 + T[:, 10] * g2
+    g_vposed = jnp.stack([gx, gy, gz], axis=1).reshape(B, 3 * tile)
+
+    # d/d T rows 0..11 (rows 12..15 are the constant homogeneous bottom row).
+    ones_grad = [g0 * x, g0 * y, g0 * z, g0,
+                 g1 * x, g1 * y, g1 * z, g1,
+                 g2 * x, g2 * y, g2 * z, g2]
+    zeros = jnp.zeros_like(g0)
+    g_T = jnp.stack(ones_grad + [zeros] * 4, axis=1).reshape(B * 16, tile)
+
+    # Reduce into grid-constant outputs.
+    g_coeffs_tile = jax.lax.dot_general(
+        g_vposed.astype(dirs2d.dtype), dirs2d,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (B, n_dirs)
+    g_At_tile = jax.lax.dot_general(
+        g_T, wT_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # (B*16, 24)
+
+    @pl.when(i == 0)
+    def _():
+        gcoeffs_ref[:] = jnp.zeros_like(gcoeffs_ref)
+        gAt_ref[:] = jnp.zeros_like(gAt_ref)
+
+    gcoeffs_ref[:] += g_coeffs_tile
+    gAt_ref[:] += g_At_tile
+
+
+def _lbs_bwd_pallas_call(
+    coeffs, template, dirs, weightsT, At, g, vert_tile: int, interpret: bool
+):
+    B = coeffs.shape[0]
+    n_dirs, _, Vp = dirs.shape
+    grid = (Vp // vert_tile,)
+
+    return pl.pallas_call(
+        _lbs_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_dirs), jnp.float32),
+            jax.ShapeDtypeStruct((B * 16, 24), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, n_dirs), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, vert_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_dirs, 3, vert_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((24, vert_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * 16, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 3, vert_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, n_dirs), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * 16, 24), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(coeffs, template, dirs, weightsT, At, g)
+
+
+def _make_diff_lbs(template, dirs, weightsT, vert_tile: int, interpret: bool):
+    """Natively-differentiable fused LBS at its natural (coeffs, At)
+    boundary: Pallas forward AND Pallas backward. Requires concrete
+    (non-traced) param arrays — they are closed over as constants."""
+
+    @jax.custom_vjp
+    def op(coeffs, At):
+        return _lbs_pallas_call(coeffs, template, dirs, weightsT, At, vert_tile, interpret)
+
+    def fwd(coeffs, At):
+        return op(coeffs, At), (coeffs, At)
+
+    def bwd(res, g):
+        coeffs, At = res
+        return _lbs_bwd_pallas_call(
+            coeffs, template, dirs, weightsT, At, g, vert_tile, interpret
+        )
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def _fused_core(
     prepared: dict, pose: jax.Array, betas: jax.Array, interpret: bool,
     parents: list[int],
@@ -218,15 +334,27 @@ def _fused_core(
 
     coeffs = jnp.concatenate([betas, pose_feature], axis=1)  # (B, 217)
 
-    verts_cm = _lbs_pallas_call(
-        coeffs,
-        prepared["basis_template"],
-        prepared["basis_dirs"],
-        prepared["weightsT"],
-        At,
-        _static_vert_tile(prepared),
-        interpret,
-    )  # (B, 3, Vp)
+    if not isinstance(prepared["basis_dirs"], jax.core.Tracer):
+        # Concrete params: fully-differentiable op (Pallas fwd + Pallas bwd);
+        # the surrounding rodrigues/chain stages autodiff in XLA.
+        op = _make_diff_lbs(
+            prepared["basis_template"],
+            prepared["basis_dirs"],
+            prepared["weightsT"],
+            _static_vert_tile(prepared),
+            interpret,
+        )
+        verts_cm = op(coeffs, At)
+    else:
+        verts_cm = _lbs_pallas_call(
+            coeffs,
+            prepared["basis_template"],
+            prepared["basis_dirs"],
+            prepared["weightsT"],
+            At,
+            _static_vert_tile(prepared),
+            interpret,
+        )  # (B, 3, Vp)
     return verts_cm, rotations, transforms, rest_joints
 
 
@@ -333,22 +461,29 @@ def smpl_forward_fused(
         )
         return verts
 
-    @jax.custom_vjp
-    def verts_op(pose, betas):
+    if not isinstance(prepared["basis_dirs"], jax.core.Tracer):
+        # Concrete params: _fused_core's LBS op already carries a Pallas
+        # backward — the whole forward differentiates natively.
         verts_cm, *_ = forward(pose, betas)
-        return verts_cm[:, :, :V].transpose(0, 2, 1)  # (B, V, 3)
+        verts = verts_cm[:, :, :V].transpose(0, 2, 1)
+    else:
+        # Traced params (jit argument): fall back to an op-level custom VJP
+        # whose backward is the XLA twin's vjp (identical math).
+        @jax.custom_vjp
+        def verts_op(pose, betas):
+            verts_cm, *_ = forward(pose, betas)
+            return verts_cm[:, :, :V].transpose(0, 2, 1)  # (B, V, 3)
 
-    def verts_fwd(pose, betas):
-        return verts_op(pose, betas), (pose, betas)
+        def verts_fwd(pose, betas):
+            return verts_op(pose, betas), (pose, betas)
 
-    def verts_bwd(res, g):
-        pose, betas = res
-        _, vjp = jax.vjp(forward_ref, pose, betas)
-        return vjp(g)
+        def verts_bwd(res, g):
+            pose, betas = res
+            _, vjp = jax.vjp(forward_ref, pose, betas)
+            return vjp(g)
 
-    verts_op.defvjp(verts_fwd, verts_bwd)
-
-    verts = verts_op(pose, betas)
+        verts_op.defvjp(verts_fwd, verts_bwd)
+        verts = verts_op(pose, betas)
     # Joints (cheap XLA stages; recomputed outside the custom_vjp so they
     # differentiate naturally).
     B = pose.shape[0]

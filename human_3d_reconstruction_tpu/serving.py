@@ -1,0 +1,132 @@
+"""Production serving session: frames + boxes in, meshes out.
+
+Wraps the flagship jitted program behind a stable, numpy-facing API for
+deployment (BASELINE: "intended for large-scale production deployment and
+serving"):
+
+    session = MeshRecoverySession(variables, smpl_model)
+    result = session.recover(frame, boxes)        # one frame, N boxes
+    results = session.recover_batch(frames, boxes_list)
+
+Properties:
+- person counts are bucketed (utils/bucketing): at most ~8 compiled
+  programs ever exist, any crowd size served without retracing;
+- preprocessing (crop/resize/normalize) runs on device inside the same
+  program as the network and SMPL decode;
+- outputs are numpy, padded persons already stripped;
+- optional overlay rendering via the native rasterizer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.api import MeshRecoveryOutput, make_recover_mesh
+from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
+from human_3d_reconstruction_tpu.utils.bucketing import DEFAULT_BUCKETS, pad_people
+
+
+@dataclass
+class PersonResult:
+    theta: np.ndarray      # (72,)
+    beta: np.ndarray       # (10,)
+    cam: np.ndarray        # (3,)
+    verts: np.ndarray      # (6890, 3)
+    joints3d: np.ndarray   # (24, 3)
+    joints2d: np.ndarray   # (K, 2) normalized crop coords
+    box: np.ndarray        # (3,) [cx, cy, scale]
+
+
+class MeshRecoverySession:
+    """Owns the model + compiled programs; thread-compatible (pure calls)."""
+
+    def __init__(
+        self,
+        variables,
+        smpl_model,
+        hmr_config: Optional[HMRConfig] = None,
+        crop_size: int = 224,
+        smpl_path: str = "pallas",
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.model = HMRModel(config=hmr_config or HMRConfig())
+        self.variables = variables
+        self.crop_size = crop_size
+        self.buckets = tuple(buckets)
+        self.faces = np.asarray(smpl_model.faces)
+        if smpl_path == "pallas":
+            from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+
+            self.smpl_params = prepare_fused_smpl(smpl_model.as_dict())
+        else:
+            self.smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+        self._recover = make_recover_mesh(self.model, smpl_path=smpl_path)
+
+    # -- core ---------------------------------------------------------------
+
+    def _run(self, frame: np.ndarray, boxes: np.ndarray) -> MeshRecoveryOutput:
+        N = len(boxes)
+        padded, mask = pad_people(
+            {"centers": boxes[:, :2], "scales": boxes[:, 2]}, N, self.buckets
+        )
+        B = len(mask)
+        frames = jnp.broadcast_to(
+            jnp.asarray(frame, jnp.float32), (B, *frame.shape)
+        )
+        crops = preprocess_crops(
+            frames,
+            jnp.asarray(padded["centers"]),
+            jnp.asarray(padded["scales"]),
+            out_size=self.crop_size,
+        )
+        out = self._recover(self.variables, self.smpl_params, crops)
+        return jax.tree.map(lambda x: x[:N], out)
+
+    def recover(self, frame: np.ndarray, boxes) -> list[PersonResult]:
+        """One frame (H, W, 3) [0,255] + boxes (N, 3) [cx, cy, scale]."""
+        boxes = np.atleast_2d(np.asarray(boxes, np.float32))
+        out = self._run(frame, boxes)
+        host = jax.device_get(out)
+        return [
+            PersonResult(
+                theta=host.theta[i],
+                beta=host.beta[i],
+                cam=host.cam[i],
+                verts=host.verts[i],
+                joints3d=host.joints3d[i],
+                joints2d=host.joints2d[i],
+                box=boxes[i],
+            )
+            for i in range(len(boxes))
+        ]
+
+    def recover_batch(
+        self, frames: Sequence[np.ndarray], boxes_list: Sequence[np.ndarray]
+    ) -> list[list[PersonResult]]:
+        """Video-style API: list of frames, per-frame boxes."""
+        return [self.recover(f, b) for f, b in zip(frames, boxes_list)]
+
+    # -- extras ---------------------------------------------------------------
+
+    def overlay(self, frame: np.ndarray, results: Sequence[PersonResult]) -> np.ndarray:
+        from human_3d_reconstruction_tpu.viz import overlay_meshes
+
+        return overlay_meshes(
+            frame,
+            [r.verts for r in results],
+            self.faces,
+            cams=[r.cam for r in results],
+            centers=[r.box[:2] for r in results],
+            scales=[float(r.box[2]) for r in results],
+        )
+
+    def num_compiled_buckets(self) -> int:
+        """Upper bound on distinct compiled programs this session creates."""
+        return len(self.buckets)

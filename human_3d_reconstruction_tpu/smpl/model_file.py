@@ -120,10 +120,25 @@ def _dense(x) -> np.ndarray:
 
 
 class _ChumpyShim:
-    """Unpickling stand-in for chumpy.Ch: captures state, exposes np array."""
+    """Unpickling stand-in for anything under the chumpy package.
+
+    Chumpy objects appear in pickles in two forms: class + ``__setstate__``
+    dict, or a module-level reconstruct function called with the raw array.
+    This shim covers both — it accepts any constructor args and captures the
+    first array-like as the payload, and merges setstate dicts.
+    """
+
+    def __init__(self, *args, **kwargs):
+        for a in args:
+            if isinstance(a, np.ndarray):
+                self.x = a
+                break
 
     def __setstate__(self, state):
-        self.__dict__.update(state)
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.x = np.asarray(state)
 
     @property
     def r(self):

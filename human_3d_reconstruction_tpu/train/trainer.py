@@ -253,6 +253,22 @@ def make_train_step(
     return train_step
 
 
+def make_jitted_train_step(
+    config: TrainConfig,
+    model: HMRModel,
+    disc: SMPLDiscriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """jit the train step, donating the old gen/disc states — they are
+    consumed every step, so donation halves the peak param+opt memory.
+    Use donate=False when the caller keeps the input state alive (tests).
+    """
+    step = make_train_step(config, model, disc, g_tx, d_tx)
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
 # ---------------------------------------------------------------------------
 # Checkpointing (reference: torch.save/--resume; SURVEY.md section 5 row
 # "Checkpoint / resume" — rebuilt on Orbax with auto-restore-latest).

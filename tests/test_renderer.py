@@ -119,3 +119,32 @@ class TestProjection:
         assert out[25, 25].sum() > 0
         assert out[70, 70].sum() > 0
         assert out[25, 70].sum() == 0
+
+
+class TestDraw:
+    def test_keypoints_drawn(self, rng):
+        from human_3d_reconstruction_tpu.viz.draw import draw_keypoints
+
+        img = np.zeros((64, 64, 3), np.float32)
+        kp = np.asarray([[20.0, 20.0], [40.0, 40.0]] + [[0.0, 0.0]] * 12)
+        vis = np.asarray([1.0, 1.0] + [0.0] * 12)
+        out = draw_keypoints(img, kp, vis=vis, skeleton=((0, 1),))
+        assert out[20, 20].sum() > 0          # dot
+        assert out[30, 30].sum() > 0          # bone midpoint
+        assert out[5, 50].sum() == 0          # elsewhere untouched
+        assert img.sum() == 0                 # input not mutated
+
+    def test_crop_to_pixels_inverse(self, rng):
+        from human_3d_reconstruction_tpu.viz.draw import crop_coords_to_pixels
+        import jax.numpy as jnp
+
+        from human_3d_reconstruction_tpu.data.preprocess import transform_keypoints
+
+        kp_src = rng.uniform(20, 100, (5, 2)).astype(np.float32)
+        center = np.asarray([60.0, 50.0], np.float32)
+        scale = 80.0
+        crop = np.asarray(
+            transform_keypoints(jnp.asarray(kp_src), jnp.asarray(center), jnp.asarray(scale))
+        )
+        back = crop_coords_to_pixels(crop, center, scale)
+        np.testing.assert_allclose(back, kp_src, atol=1e-4)

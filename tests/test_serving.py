@@ -1,0 +1,62 @@
+"""Serving session tests: bucketing transparency, output contracts."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
+from human_3d_reconstruction_tpu.serving import MeshRecoverySession
+
+
+@pytest.fixture(scope="module")
+def session(smpl_model):
+    import jax.numpy as jnp
+
+    model = HMRModel(config=HMRConfig())
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    return MeshRecoverySession(
+        variables, smpl_model, crop_size=64, smpl_path="xla"
+    )
+
+
+@pytest.fixture(scope="module")
+def frame(rng):
+    return rng.uniform(0, 255, (120, 160, 3)).astype(np.float32)
+
+
+class TestServing:
+    def test_single_person(self, session, frame):
+        results = session.recover(frame, [[80.0, 60.0, 90.0]])
+        assert len(results) == 1
+        r = results[0]
+        assert r.theta.shape == (72,)
+        assert r.verts.shape == (6890, 3)
+        assert r.joints3d.shape == (24, 3)
+        assert np.all(np.isfinite(r.verts))
+
+    def test_multi_person_bucketed(self, session, frame):
+        boxes = [[40.0, 30.0, 50.0], [80.0, 60.0, 70.0], [120.0, 90.0, 60.0]]
+        results = session.recover(frame, boxes)  # N=3 -> bucket 4 internally
+        assert len(results) == 3
+        np.testing.assert_array_equal(results[2].box, boxes[2])
+
+    def test_padding_does_not_change_results(self, session, frame):
+        """Same person alone (bucket 1) vs in a padded bucket: same mesh."""
+        box = [80.0, 60.0, 90.0]
+        solo = session.recover(frame, [box])[0]
+        trio = session.recover(frame, [box, [40.0, 30.0, 50.0], [100.0, 80.0, 60.0]])[0]
+        np.testing.assert_allclose(solo.verts, trio.verts, atol=1e-5)
+
+    def test_batch_api(self, session, frame, rng):
+        frame2 = rng.uniform(0, 255, (120, 160, 3)).astype(np.float32)
+        out = session.recover_batch(
+            [frame, frame2], [[[80.0, 60.0, 90.0]], [[70.0, 50.0, 80.0]]]
+        )
+        assert len(out) == 2 and len(out[0]) == 1
+
+    def test_overlay(self, session, frame):
+        results = session.recover(frame, [[80.0, 60.0, 90.0]])
+        img = session.overlay(frame, results)
+        assert img.shape == frame.shape
+        assert not np.allclose(img, frame)  # something was drawn
