@@ -43,6 +43,11 @@ def main(argv: list[str]) -> None:
     )
 
     config = load_config(argv)
+    if config.debug_nans:
+        from human_3d_reconstruction_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
+        echo("NaN debugging ON (dev mode; disables some fusion)")
     echo(f"preset={config.preset} devices={jax.devices()}")
 
     smpl_model = build_smpl(config)

@@ -49,6 +49,7 @@ class RunConfig:
     smpl_model_path: Optional[str] = None  # None = synthetic model
     checkpoint_dir: str = "checkpoints"
     smpl_path: str = "pallas"  # 'xla' | 'pallas' decode path
+    debug_nans: bool = False   # dev mode: fail fast on NaNs (SURVEY sec. 5)
     seed: int = 0
     total_steps: int = 10000
     log_every: int = 50

@@ -24,9 +24,11 @@ to Vp = 7168 (56*128); zero-padded weights/basis make padded verts exactly 0.
 The kinematic chain (tiny, serial) and the joint regressions stay in XLA —
 measured guidance from SURVEY.md section 7 "Hard parts".
 
-Gradients: the op carries a custom VJP whose backward is the vjp of the
-XLA twin (identical math), so training works; the Pallas path is the
-inference fast path.
+Gradients: with concrete (host-prepared) params the LBS op differentiates
+natively — Pallas forward AND Pallas backward (`_lbs_bwd_kernel`:
+recompute-in-tile, grid-sequential reduction into the (coeffs, At)
+cotangents). With traced params (jit-argument dicts) it falls back to an
+op-level custom VJP whose backward is the XLA twin's vjp (identical math).
 """
 
 from __future__ import annotations
@@ -341,7 +343,7 @@ def _fused_core(
             prepared["basis_template"],
             prepared["basis_dirs"],
             prepared["weightsT"],
-            _static_vert_tile(prepared),
+            _static_vert_tile(prepared, B),
             interpret,
         )
         verts_cm = op(coeffs, At)
@@ -352,7 +354,7 @@ def _fused_core(
             prepared["basis_dirs"],
             prepared["weightsT"],
             At,
-            _static_vert_tile(prepared),
+            _static_vert_tile(prepared, B),
             interpret,
         )  # (B, 3, Vp)
     return verts_cm, rotations, transforms, rest_joints
@@ -371,12 +373,21 @@ def _static_int(prepared: dict, key: str, default: int) -> int:
     return int(val)
 
 
-def _static_vert_tile(prepared: dict) -> int:
-    """Tile size from the (always-static) padded basis shape."""
+def _static_vert_tile(prepared: dict, batch: int) -> int:
+    """Tile size: as large as VMEM allows for this batch.
+
+    Per-tile VMEM ~= 4*T*(678 + 25*B) bytes (basis/template/weights blocks
+    + the B-proportional in/out/temp blocks), double-buffered by the grid
+    pipeline; cap at ~11 MB of the 16 MB budget. B=64 -> 512, B=256 -> 256,
+    B=1024 -> 64. Vp (a multiple of 512) is divisible by every candidate.
+    """
     Vp = prepared["basis_dirs"].shape[2]
     tile = _static_int(prepared, "vert_tile", default=VERT_TILE)
     if Vp % tile != 0:  # prepared with a custom tile that got traced away
         tile = VERT_TILE
+    budget = 11 * 1024 * 1024
+    while tile > 128 and 4 * tile * (678 + 25 * batch) * 1.3 > budget:
+        tile //= 2
     assert Vp % tile == 0, (Vp, tile)
     return tile
 

@@ -41,8 +41,10 @@ class TestPrefetch:
         for b in device_prefetch(slow_iter(), depth=3):
             time.sleep(0.05)  # simulated device step
         elapsed = time.perf_counter() - t0
-        # serial would be ~0.6s; overlapped ~0.35s
-        assert elapsed < 0.52, elapsed
+        # serial would be ~0.6s; overlapped ~0.35s. Generous bound: the
+        # suite may run under heavy parallel load (TPU benches on the same
+        # host), so only catch a fully-serial regression.
+        assert elapsed < 0.58, elapsed
 
     def test_custom_place_fn(self):
         seen = []
