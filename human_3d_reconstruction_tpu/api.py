@@ -19,7 +19,6 @@ from functools import partial
 from typing import Any, NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from human_3d_reconstruction_tpu.models.hmr import HMRModel, HMROutput
 from human_3d_reconstruction_tpu.smpl.forward import smpl_forward

@@ -33,7 +33,6 @@ op-level custom VJP whose backward is the XLA twin's vjp (identical math).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -390,12 +389,6 @@ def _static_vert_tile(prepared: dict, batch: int) -> int:
         tile //= 2
     assert Vp % tile == 0, (Vp, tile)
     return tile
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_verts(static: tuple, coeff_inputs: tuple) -> jax.Array:
-    """Differentiable wrapper around the kernel: returns verts (B, V, 3)."""
-    raise NotImplementedError  # replaced by defvjp below
 
 
 def smpl_forward_fused(

@@ -1,0 +1,87 @@
+"""CLI entry-point smoke tests (subprocess, CPU, tiny shapes).
+
+These guard the user-facing surfaces end-to-end: argument parsing, config
+overrides, output files. Kept cheap with 48-px crops; each runs a real
+`python -m ...` subprocess with the CPU backend forced.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(module: str, args: list[str], cwd: Path, timeout: int = 600):
+    env = os.environ.copy()
+    env["PYTHONPATH"] = f"{REPO}{os.pathsep}" + env.get("PYTHONPATH", "")
+    # Force CPU inside the subprocess (sitecustomize overrides JAX_PLATFORMS,
+    # so go through a -c shim that uses jax.config before importing the CLI).
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"import sys; from human_3d_reconstruction_tpu.cli.{module} import main; "
+        f"main({args!r})"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+class TestCLISmoke:
+    def test_smpl_forward_cli(self, tmp_path):
+        r = run_cli(
+            "smpl_forward",
+            ["smpl_only", f"--obj={tmp_path}/m.obj"],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert blob["verts_shape"] == [1, 6890, 3]
+        assert (tmp_path / "m.obj").exists()
+
+    def test_demo_cli_multi_person(self, tmp_path):
+        (tmp_path / "boxes.json").write_text("[[100,100,80],[200,150,90]]")
+        r = run_cli(
+            "demo",
+            [
+                "single_image",
+                f"--boxes={tmp_path}/boxes.json",
+                f"--out={tmp_path}/ov.png",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert blob["num_persons"] == 2
+        assert (tmp_path / "ov.png").exists()
+
+    def test_eval_cli_synthetic(self, tmp_path):
+        r = run_cli(
+            "eval",
+            [
+                "h36m_eval",
+                f"--eval.report_path={tmp_path}/rep.json",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert "mpjpe_mm" in blob and np.isfinite(blob["mpjpe_mm"])
+        assert (tmp_path / "rep.json").exists()
+
+    def test_convert_annotations_usage_error(self, tmp_path):
+        r = run_cli("convert_annotations", ["nope"], cwd=tmp_path)
+        assert r.returncode == 2
