@@ -52,8 +52,6 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from human_3d_reconstruction_tpu.api import make_recover_mesh
-    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
     from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel
     from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model
 
@@ -68,7 +66,9 @@ def main() -> None:
     model = HMRModel(config=HMRConfig(encoder_dtype=jnp.bfloat16))
     variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
     smpl_params = prepare_fused_smpl(smpl_model.as_dict())
-    recover = make_recover_mesh(model, smpl_path="pallas")
+    from human_3d_reconstruction_tpu.api import make_recover_from_frames
+
+    recover_frames = make_recover_from_frames(model, smpl_path="pallas")
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0, 255, (BATCH, 256, 256, 3)).astype(np.float32))
@@ -76,8 +76,8 @@ def main() -> None:
     scales = jnp.full((BATCH,), 200.0)
 
     def pipeline(x):
-        crops = preprocess_crops(x, centers, scales)
-        return recover(variables, smpl_params, crops)
+        # ONE fused device program: preprocess + encoder + IEF + SMPL decode.
+        return recover_frames(variables, smpl_params, x, centers, scales)
 
     def chained_step(x):
         # Chain the next input on this step's output: steps cannot be
@@ -129,8 +129,7 @@ def main() -> None:
     c1, s1 = centers[:1], scales[:1]
 
     def one():
-        crops = preprocess_crops(img1, c1, s1)
-        return recover(variables, smpl_params, crops)
+        return recover_frames(variables, smpl_params, img1, c1, s1)
 
     sync(one())
     lats = []

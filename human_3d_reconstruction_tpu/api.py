@@ -80,3 +80,25 @@ def make_recover_mesh(model: HMRModel, smpl_path: str = "xla"):
     """
     fn = partial(recover_mesh_fn, model, smpl_path=smpl_path)
     return jax.jit(fn)
+
+
+def make_recover_from_frames(
+    model: HMRModel, smpl_path: str = "xla", crop_size: int = 224
+):
+    """Full-fusion entry: raw frames + boxes -> mesh recovery, ONE program.
+
+    Fuses the on-device preprocessing (crop/resize/normalize) into the same
+    XLA program as the encoder/IEF/SMPL decode — the north star's "single
+    jit'd device program with no host round-trips", and one dispatch fewer
+    per step than preprocess_crops + recover_mesh.
+
+    Returns jitted fn(variables, smpl_params, frames, centers, scales) ->
+    MeshRecoveryOutput; frames (B, H, W, 3) in [0, 255].
+    """
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+
+    def fn(variables, smpl_params, frames, centers, scales):
+        crops = preprocess_crops(frames, centers, scales, out_size=crop_size)
+        return recover_mesh_fn(model, variables, smpl_params, crops, smpl_path=smpl_path)
+
+    return jax.jit(fn)

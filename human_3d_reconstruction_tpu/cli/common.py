@@ -43,12 +43,27 @@ def smpl_device_params(config: RunConfig, smpl_model) -> dict:
 
 
 class JSONLLogger:
-    """Structured metric log (SURVEY.md section 5 'Metrics / logging')."""
+    """Structured metric log (SURVEY.md section 5 'Metrics / logging').
 
-    def __init__(self, path: str | Path):
+    JSONL is the source of truth; pass `tensorboard=True` to mirror scalars
+    to a TensorBoard event file next to it (reference parity: the reference
+    trainer optionally logs SummaryWriter scalars).
+    """
+
+    def __init__(self, path: str | Path, tensorboard: bool = False):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    str(self.path.parent / "tb")
+                )
+            except Exception:
+                self._tb = None  # tensorboard optional; JSONL always works
 
     def log(self, step: int, **metrics) -> None:
         row = {"step": step, "time": time.time()}
@@ -57,9 +72,18 @@ class JSONLLogger:
         )
         self._fh.write(json.dumps(row) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in row.items():
+                    if isinstance(v, float) and k not in ("time",):
+                        tf.summary.scalar(k, v, step=step)
 
     def close(self) -> None:
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def echo(msg: str) -> None:

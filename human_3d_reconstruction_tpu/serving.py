@@ -27,8 +27,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from human_3d_reconstruction_tpu.api import MeshRecoveryOutput, make_recover_mesh
-from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+from human_3d_reconstruction_tpu.api import (
+    MeshRecoveryOutput,
+    make_recover_from_frames,
+)
 from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
 from human_3d_reconstruction_tpu.utils.bucketing import DEFAULT_BUCKETS, pad_people
 
@@ -67,7 +69,10 @@ class MeshRecoverySession:
             self.smpl_params = prepare_fused_smpl(smpl_model.as_dict())
         else:
             self.smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
-        self._recover = make_recover_mesh(self.model, smpl_path=smpl_path)
+        # One fused device program: preprocess + network + SMPL decode.
+        self._recover = make_recover_from_frames(
+            self.model, smpl_path=smpl_path, crop_size=crop_size
+        )
 
     # -- core ---------------------------------------------------------------
 
@@ -80,13 +85,13 @@ class MeshRecoverySession:
         frames = jnp.broadcast_to(
             jnp.asarray(frame, jnp.float32), (B, *frame.shape)
         )
-        crops = preprocess_crops(
+        out = self._recover(
+            self.variables,
+            self.smpl_params,
             frames,
             jnp.asarray(padded["centers"]),
             jnp.asarray(padded["scales"]),
-            out_size=self.crop_size,
         )
-        out = self._recover(self.variables, self.smpl_params, crops)
         return jax.tree.map(lambda x: x[:N], out)
 
     def recover(self, frame: np.ndarray, boxes) -> list[PersonResult]:
