@@ -28,10 +28,10 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.cli.common import JSONLLogger, build_smpl, echo
     from human_3d_reconstruction_tpu.config import load_config
     from human_3d_reconstruction_tpu.data.datasets import (
-        DATASET_REGISTRY,
         MixedLoader,
         MoshParamSource,
         SyntheticImageDataset,
+        make_dataset,
     )
     from human_3d_reconstruction_tpu.parallel import make_mesh, replicate, shard_batch
     from human_3d_reconstruction_tpu.train.trainer import (
@@ -57,7 +57,7 @@ def main(argv: list[str]) -> None:
     if config.data.sources:
         datasets, weights = [], []
         for name, path, weight in config.data.sources:
-            datasets.append(DATASET_REGISTRY[name](path))
+            datasets.append(make_dataset(name, path))
             weights.append(float(weight))
         echo(f"training on {[d.name for d in datasets]} weights={weights}")
     else:

@@ -170,6 +170,15 @@ DATASET_REGISTRY = {
 }
 
 
+def make_dataset(name: str, path):
+    """Factory covering the npz adapters plus the packed-record format."""
+    if name == "packed":
+        from human_3d_reconstruction_tpu.data.recordio import PackedDataset
+
+        return PackedDataset(path)
+    return DATASET_REGISTRY[name](path)
+
+
 class MoshParamSource:
     """(theta, beta) prior pool for the discriminator (reference: Mosh'd CMU).
 

