@@ -52,16 +52,27 @@ def main(argv: list[str]) -> None:
     if "image" in own:
         import cv2
 
-        frame = cv2.cvtColor(cv2.imread(own["image"]), cv2.COLOR_BGR2RGB).astype(
-            np.float32
-        )
+        raw = cv2.imread(own["image"])
+        if raw is None:
+            raise SystemExit(f"error: cannot read image {own['image']!r}")
+        frame = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
     else:
         echo("no --image given; using a synthetic frame")
         frame = np.random.default_rng(0).uniform(0, 255, (480, 640, 3)).astype(np.float32)
 
     H, W = frame.shape[:2]
     if "boxes" in own:
-        boxes = np.asarray(json.loads(Path(own["boxes"]).read_text()), np.float32)
+        try:
+            boxes = np.asarray(json.loads(Path(own["boxes"]).read_text()), np.float32)
+        except (OSError, json.JSONDecodeError, ValueError) as e:
+            raise SystemExit(
+                f"error: --boxes must be a JSON list of [cx, cy, scale] rows "
+                f"({own['boxes']!r}: {e})"
+            )
+        if boxes.ndim != 2 or boxes.shape[1] != 3 or len(boxes) == 0:
+            raise SystemExit(
+                f"error: --boxes shape {boxes.shape} != (N, 3) [cx, cy, scale]"
+            )
     else:
         boxes = np.asarray([[W / 2, H / 2, min(H, W) * 0.9]], np.float32)
     N = len(boxes)

@@ -85,3 +85,22 @@ class TestCLISmoke:
     def test_convert_annotations_usage_error(self, tmp_path):
         r = run_cli("convert_annotations", ["nope"], cwd=tmp_path)
         assert r.returncode == 2
+
+    def test_demo_bad_image_clean_error(self, tmp_path):
+        r = run_cli(
+            "demo",
+            ["single_image", "--image=/nope/missing.jpg", "--data.crop_size=48"],
+            cwd=tmp_path,
+        )
+        assert r.returncode != 0
+        assert "cannot read image" in r.stderr
+
+    def test_demo_bad_boxes_clean_error(self, tmp_path):
+        (tmp_path / "bad.json").write_text("[[1, 2]]")  # wrong width
+        r = run_cli(
+            "demo",
+            ["single_image", f"--boxes={tmp_path}/bad.json", "--data.crop_size=48"],
+            cwd=tmp_path,
+        )
+        assert r.returncode != 0
+        assert "cx, cy, scale" in r.stderr
