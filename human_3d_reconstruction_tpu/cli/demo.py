@@ -42,7 +42,7 @@ def main(argv: list[str]) -> None:
     own, overrides = {}, []
     for a in argv:
         key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
-        if key in ("image", "boxes", "out", "checkpoint"):
+        if key in ("image", "boxes", "out", "checkpoint", "save_meshes"):
             own[key] = a.split("=", 1)[1]
         else:
             overrides.append(a)
@@ -141,6 +141,15 @@ def main(argv: list[str]) -> None:
             np.asarray(out.joints2d[i][:14]), boxes[i, :2], float(boxes[i, 2])
         )
         overlay = draw_keypoints(overlay, kp_px)
+    if "save_meshes" in own:
+        from human_3d_reconstruction_tpu.viz.mesh_io import save_obj
+
+        mesh_dir = Path(own["save_meshes"])
+        mesh_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(N):
+            save_obj(mesh_dir / f"person{i}.obj", verts[i], np.asarray(smpl_model.faces))
+        echo(f"wrote {N} meshes to {mesh_dir}/")
+
     out_path = own.get("out", "demo_overlay.png")
     import cv2
 

@@ -104,3 +104,29 @@ class TestCLISmoke:
         )
         assert r.returncode != 0
         assert "cx, cy, scale" in r.stderr
+
+    def test_demo_save_meshes(self, tmp_path):
+        r = run_cli(
+            "demo",
+            [
+                "single_image",
+                f"--save_meshes={tmp_path}/meshes",
+                f"--out={tmp_path}/ov.png",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (tmp_path / "meshes" / "person0.obj").exists()
+
+    def test_package_main_usage(self, tmp_path):
+        import subprocess, sys, os
+
+        env = os.environ.copy()
+        env["PYTHONPATH"] = f"{REPO}{os.pathsep}" + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, "-m", "human_3d_reconstruction_tpu"],
+            capture_output=True, text=True, env=env, timeout=120,
+        )
+        assert r.returncode == 0
+        assert "entry points" in r.stderr
