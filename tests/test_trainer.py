@@ -162,3 +162,23 @@ class TestCheckpoint:
         mgr = make_checkpoint_manager(str(tmp_path / "empty_ckpt"))
         g, d, step = restore_latest(mgr, gen, disc)
         assert step == 0
+
+
+class TestAugmentedTraining:
+    def test_step_with_full_augmentation(self, smpl_model, setup):
+        """Rotation/scale/flip aug enabled -> gather preprocess path in the
+        train step still produces finite losses and updates."""
+        config = small_config(
+            aug_rot_max=0.3, aug_scale_jitter=0.1, aug_flip=True
+        )
+        gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        step_fn = jax.jit(make_train_step(config, model, disc_mod, g_tx, d_tx))
+        _, _, _, _, smpl_params, batch, mt, mb = setup
+        new_gen, _, metrics = step_fn(
+            gen, disc, smpl_params, batch, mt, mb, jax.random.key(9)
+        )
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+        assert int(new_gen.step) == 1
