@@ -5,7 +5,7 @@ is implemented as a pure function over a parameter pytree so it is freely
 `jit`-, `vmap`- and `grad`-able, with two interchangeable compute paths:
 
 - ``forward.smpl_forward``        : pure jax.numpy/lax (the reference twin)
-- ``ops.fused.smpl_forward_fused``: Pallas-fused blendshapes + LBS kernels
+- ``ops.fused_smpl.smpl_forward_fused``: Pallas-fused blendshapes + LBS kernels
 
 Reference parity: the reference's SMPL layer is a torch port of SMPL
 (Loper et al. 2015); see SURVEY.md section 2 "SMPL layer" for the required
