@@ -1,0 +1,99 @@
+"""Test-time parameter refinement (SMPLify-style), fully jitted.
+
+Refines the regressor's (theta, beta, cam) against observed 2D keypoints by
+gradient descent through the differentiable SMPL decode — the classic
+optimization stage HMR replaced, offered here as an optional post-process
+(hybrid regression+fitting is standard in the family; cf. "Learnable
+SMPLify", PAPERS.md). The whole optimization is one `lax.scan` inside jit:
+no host round-trips, batched over persons.
+
+Objective per sample:
+    lambda_kp * L1(project(joints3d, cam), kp2d; vis)
+  + lambda_prior_theta * ||theta - theta_init||^2     (stay near regression)
+  + lambda_prior_beta  * ||beta||^2                   (shape prior)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+from human_3d_reconstruction_tpu.utils.geometry import orthographic_project
+
+
+class FitResult(NamedTuple):
+    theta: jax.Array        # (B, 72) refined pose
+    beta: jax.Array         # (B, 10) refined shape
+    cam: jax.Array          # (B, 3) refined camera
+    loss_history: jax.Array # (steps,) objective per iteration (batch mean)
+
+
+def refine_params(
+    smpl_params: dict,
+    theta: jax.Array,
+    beta: jax.Array,
+    cam: jax.Array,
+    kp2d: jax.Array,
+    vis: jax.Array,
+    num_steps: int = 50,
+    lr: float = 0.02,
+    lambda_kp: float = 1.0,
+    lambda_prior_theta: float = 0.1,
+    lambda_prior_beta: float = 0.01,
+    fit_beta: bool = True,
+    fit_cam: bool = True,
+    parents: Optional[list[int]] = None,
+) -> FitResult:
+    """Refine (theta, beta, cam) to the observed 2D keypoints.
+
+    Args:
+        smpl_params: SMPL param dict (raw; needs `joint_regressor` whose
+            first 14 rows follow the LSP-14 convention).
+        theta/beta/cam: (B, ...) initial estimates (e.g. HMR output).
+        kp2d: (B, 14, 2) observed keypoints in normalized crop coords.
+        vis:  (B, 14) visibility.
+        fit_beta/fit_cam: freeze those variables when False.
+
+    Returns FitResult; jit-safe (static num_steps).
+    """
+    theta0 = jnp.asarray(theta, jnp.float32)
+    beta0 = jnp.asarray(beta, jnp.float32)
+    cam0 = jnp.asarray(cam, jnp.float32)
+    kp2d = jnp.asarray(kp2d, jnp.float32)
+    mask = (jnp.asarray(vis, jnp.float32) > 0).astype(jnp.float32)
+
+    def objective(params):
+        th, be, cm = params["theta"], params["beta"], params["cam"]
+        be_eff = be if fit_beta else jax.lax.stop_gradient(be)
+        cm_eff = cm if fit_cam else jax.lax.stop_gradient(cm)
+        out = smpl_forward(smpl_params, th, be_eff, parents=parents)
+        pred2d = orthographic_project(out.eval_joints[:, :NUM_KP], cm_eff)
+        err = jnp.sum(jnp.abs(pred2d - kp2d), axis=-1)  # (B, 14)
+        l_kp = jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        l_pt = jnp.mean(jnp.sum((th - theta0) ** 2, axis=-1))
+        l_pb = jnp.mean(jnp.sum(be_eff**2, axis=-1))
+        return lambda_kp * l_kp + lambda_prior_theta * l_pt + lambda_prior_beta * l_pb
+
+    tx = optax.adam(lr)
+    params = {"theta": theta0, "beta": beta0, "cam": cam0}
+    opt_state = tx.init(params)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(objective)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=num_steps)
+    return FitResult(
+        theta=params["theta"],
+        beta=params["beta"] if fit_beta else beta0,
+        cam=params["cam"] if fit_cam else cam0,
+        loss_history=losses,
+    )

@@ -1,0 +1,93 @@
+"""Test-time fitting: refinement recovers perturbed parameters."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+from human_3d_reconstruction_tpu.fitting import refine_params
+from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+from human_3d_reconstruction_tpu.utils.geometry import orthographic_project
+
+
+@pytest.fixture(scope="module")
+def fit_problem(smpl_model):
+    """GT pose -> its 2D keypoints; start from a perturbed pose."""
+    rng = np.random.default_rng(7)
+    B = 2
+    theta_gt = jnp.asarray(rng.normal(0, 0.4, (B, 72)).astype(np.float32))
+    beta_gt = jnp.asarray(rng.normal(0, 0.5, (B, 10)).astype(np.float32))
+    cam = jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (B, 1))
+
+    params = {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()}
+    out = smpl_forward(params, theta_gt, beta_gt)
+    kp2d = orthographic_project(out.eval_joints[:, :NUM_KP], cam)
+    vis = jnp.ones((B, NUM_KP))
+
+    theta_init = theta_gt + jnp.asarray(
+        rng.normal(0, 0.15, (B, 72)).astype(np.float32)
+    )
+    return params, theta_gt, beta_gt, cam, kp2d, vis, theta_init
+
+
+class TestFitting:
+    def test_refinement_reduces_reprojection_error(self, fit_problem):
+        params, theta_gt, beta_gt, cam, kp2d, vis, theta_init = fit_problem
+
+        def reproj_err(theta, beta, c):
+            out = smpl_forward(params, theta, beta)
+            pred = orthographic_project(out.eval_joints[:, :NUM_KP], c)
+            return float(jnp.mean(jnp.abs(pred - kp2d)))
+
+        before = reproj_err(theta_init, beta_gt, cam)
+        result = refine_params(
+            params, theta_init, beta_gt, cam, kp2d, vis,
+            num_steps=60, lr=0.02, lambda_prior_theta=0.0,
+        )
+        after = reproj_err(result.theta, result.beta, result.cam)
+        assert after < before * 0.5, (before, after)
+
+    def test_loss_monotone_ish(self, fit_problem):
+        params, theta_gt, beta_gt, cam, kp2d, vis, theta_init = fit_problem
+        result = refine_params(
+            params, theta_init, beta_gt, cam, kp2d, vis, num_steps=40
+        )
+        hist = np.asarray(result.loss_history)
+        assert hist[-1] < hist[0]
+        assert np.all(np.isfinite(hist))
+
+    def test_frozen_beta_and_cam(self, fit_problem):
+        params, theta_gt, beta_gt, cam, kp2d, vis, theta_init = fit_problem
+        result = refine_params(
+            params, theta_init, beta_gt, cam, kp2d, vis,
+            num_steps=10, fit_beta=False, fit_cam=False,
+        )
+        np.testing.assert_array_equal(np.asarray(result.beta), np.asarray(beta_gt))
+        np.testing.assert_array_equal(np.asarray(result.cam), np.asarray(cam))
+
+    def test_jit_wrappable(self, fit_problem):
+        params, theta_gt, beta_gt, cam, kp2d, vis, theta_init = fit_problem
+
+        fit = jax.jit(
+            lambda t, b, c: refine_params(
+                params, t, b, c, kp2d, vis, num_steps=5
+            ).theta
+        )
+        out = fit(theta_init, beta_gt, cam)
+        assert out.shape == theta_init.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_visibility_masking(self, fit_problem):
+        """Invisible joints don't pull: masked fit ignores corrupted kp."""
+        params, theta_gt, beta_gt, cam, kp2d, vis, theta_init = fit_problem
+        kp_bad = kp2d.at[:, 0].set(100.0)  # corrupt one joint
+        vis_masked = vis.at[:, 0].set(0.0)
+        r = refine_params(
+            params, theta_init, beta_gt, cam, kp_bad, vis_masked, num_steps=30
+        )
+        # loss must still decrease and not explode chasing the corrupt joint
+        hist = np.asarray(r.loss_history)
+        assert hist[-1] < hist[0]
+        assert float(jnp.abs(r.theta).max()) < 10.0
