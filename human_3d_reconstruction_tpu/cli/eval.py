@@ -102,8 +102,36 @@ def main(argv: list[str]) -> None:
         print(report.to_json())
         return
 
-    def predict_joints(images, centers, scales):
-        return run_model(images, centers, scales).eval_joints3d[:, :NUM_KP]
+    if config.fit_steps > 0:
+        # SMPLify-style test-time refinement: fit (theta, beta, cam) to the
+        # dataset's 2D keypoints (as a detector stand-in), then score 3D.
+        from human_3d_reconstruction_tpu.cli.common import build_smpl as _  # noqa: F401
+        from human_3d_reconstruction_tpu.data.preprocess import transform_keypoints
+        from human_3d_reconstruction_tpu.fitting import refine_params
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+
+        raw_smpl = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+        echo(f"test-time refinement ON: {config.fit_steps} steps/batch")
+
+        def predict_joints(images, centers, scales, batch=None):
+            out = run_model(images, centers, scales)
+            if batch is None or batch.kp2d is None:
+                return out.eval_joints3d[:, :NUM_KP]
+            kp_crop = jax.vmap(transform_keypoints)(
+                jnp.asarray(batch.kp2d[:, :, :2]),
+                jnp.asarray(batch.centers),
+                jnp.asarray(batch.scales),
+            )
+            result = refine_params(
+                raw_smpl, out.theta, out.beta, out.cam,
+                kp_crop, jnp.asarray(batch.kp2d[:, :, 2]),
+                num_steps=config.fit_steps,
+            )
+            refined = smpl_forward(raw_smpl, result.theta, result.beta)
+            return refined.eval_joints[:, :NUM_KP]
+    else:
+        def predict_joints(images, centers, scales):
+            return run_model(images, centers, scales).eval_joints3d[:, :NUM_KP]
 
     if config.eval.index_path:
         batches = load_eval_batches(config.eval.index_path, config.eval.batch_size)

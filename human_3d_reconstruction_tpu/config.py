@@ -50,6 +50,7 @@ class RunConfig:
     checkpoint_dir: str = "checkpoints"
     smpl_path: str = "pallas"  # 'xla' | 'pallas' decode path
     debug_nans: bool = False   # dev mode: fail fast on NaNs (SURVEY sec. 5)
+    fit_steps: int = 0         # >0: SMPLify-style test-time refinement steps
     seed: int = 0
     total_steps: int = 10000
     log_every: int = 50

@@ -36,6 +36,8 @@ class EvalBatch:
     scales: np.ndarray    # (B,)
     gt_joints3d: np.ndarray  # (B, 14, 3) meters, root-relative
     actions: np.ndarray   # (B,) int indices into the action table
+    kp2d: Optional[np.ndarray] = None  # (B, 14, 3) source px + vis; enables
+    # SMPLify-style test-time refinement during eval (--fit_steps)
 
 
 @dataclass
@@ -72,7 +74,7 @@ class EvalReport:
 
 
 def run_protocol(
-    predict_joints: Callable[[np.ndarray, np.ndarray, np.ndarray], jax.Array],
+    predict_joints: Callable[..., jax.Array],
     batches: Iterator[EvalBatch],
     actions: Sequence[str] = H36M_EVAL_ACTIONS,
     report_path: Optional[str | Path] = None,
@@ -81,9 +83,15 @@ def run_protocol(
 
     Args:
         predict_joints: (images, centers, scales) -> (B, 14, 3) predicted
-            3D joints (meters). Typically preprocess+HMR+SMPL jitted.
+            3D joints (meters) — typically preprocess+HMR+SMPL jitted. A
+            predictor may also accept a keyword-only `batch` (the full
+            EvalBatch) for test-time refinement against its 2D keypoints;
+            it is passed when the callable declares it.
         batches: EvalBatch iterator (one pass).
     """
+    import inspect
+
+    wants_batch = "batch" in inspect.signature(predict_joints).parameters
     per_action_err: dict[int, list[tuple[float, float, int]]] = {}
     total_frames = 0
 
@@ -100,7 +108,10 @@ def run_protocol(
         return jax.vmap(one)(pred, gt)
 
     for batch in batches:
-        pred = predict_joints(batch.images, batch.centers, batch.scales)
+        if wants_batch:
+            pred = predict_joints(batch.images, batch.centers, batch.scales, batch=batch)
+        else:
+            pred = predict_joints(batch.images, batch.centers, batch.scales)
         pred = jnp.asarray(pred)
         gt = jnp.asarray(batch.gt_joints3d)
         assert pred.shape == gt.shape == (len(batch.actions), NUM_KP, 3), (
@@ -154,6 +165,7 @@ def synthetic_eval_batches(
             scales=np.stack([r.scale for r in recs]),
             gt_joints3d=np.stack([r.joints3d for r in recs]),
             actions=rng.integers(0, len(H36M_EVAL_ACTIONS), size=batch_size),
+            kp2d=np.stack([r.kp2d for r in recs]),
         )
 
 
@@ -180,4 +192,5 @@ def load_eval_batches(
             scales=batch.scales,
             gt_joints3d=batch.joints3d,
             actions=actions[list(idx)],
+            kp2d=batch.kp2d,
         )
