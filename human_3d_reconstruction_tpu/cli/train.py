@@ -102,6 +102,19 @@ def main(argv: list[str]) -> None:
     rng_key = jax.random.key(config.seed + 2)
     t_last = time.perf_counter()
 
+    # Preemption safety (SURVEY.md section 5 "failure detection / recovery"):
+    # on SIGTERM/SIGINT finish the in-flight step, checkpoint, exit 0 —
+    # restart auto-resumes from the save.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
     # Prefetch: host collate + H2D overlap with the device step.
     from human_3d_reconstruction_tpu.data.prefetch import device_prefetch
 
@@ -144,6 +157,11 @@ def main(argv: list[str]) -> None:
         if (step + 1) % config.save_every == 0 or step + 1 == config.total_steps:
             save_checkpoint(mgr, step + 1, gen, disc)
             echo(f"saved checkpoint at step {step + 1}")
+        if stop_requested["flag"]:
+            save_checkpoint(mgr, step + 1, gen, disc)
+            mgr.wait_until_finished()
+            echo(f"preempted: checkpointed at step {step + 1}, exiting cleanly")
+            break
 
     mgr.wait_until_finished()
     logger.close()
