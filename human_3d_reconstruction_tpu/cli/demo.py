@@ -85,20 +85,12 @@ def main(argv: list[str]) -> None:
     if "checkpoint" in own:
         from human_3d_reconstruction_tpu.train.trainer import (
             make_checkpoint_manager,
+            restore_inference_variables,
         )
-        import orbax.checkpoint as ocp
 
         mgr = make_checkpoint_manager(own["checkpoint"])
-        step = mgr.latest_step()
-        if step is not None:
-            restored = mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    gen=ocp.args.StandardRestore(jax.device_get(variables))
-                ),
-            )["gen"]
-            variables = restored
-            echo(f"restored checkpoint step {step}")
+        variables, step = restore_inference_variables(mgr, variables)
+        echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
     smpl_params = smpl_device_params(config, smpl_model)
     recover = make_recover_mesh(model, smpl_path=config.smpl_path)
 

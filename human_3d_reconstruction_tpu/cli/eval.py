@@ -52,20 +52,14 @@ def main(argv: list[str]) -> None:
     model = build_model(config)
     variables = init_variables(config, model)
     if "checkpoint" in own:
-        import orbax.checkpoint as ocp
-
-        from human_3d_reconstruction_tpu.train.trainer import make_checkpoint_manager
+        from human_3d_reconstruction_tpu.train.trainer import (
+            make_checkpoint_manager,
+            restore_inference_variables,
+        )
 
         mgr = make_checkpoint_manager(own["checkpoint"])
-        step = mgr.latest_step()
-        if step is not None:
-            variables = mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    gen=ocp.args.StandardRestore(jax.device_get(variables))
-                ),
-            )["gen"]
-            echo(f"restored checkpoint step {step}")
+        variables, step = restore_inference_variables(mgr, variables)
+        echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
     smpl_params = smpl_device_params(config, smpl_model)
     recover = make_recover_mesh(model, smpl_path=config.smpl_path)
 

@@ -305,6 +305,35 @@ def save_checkpoint(mgr, step: int, gen_state: GenState, disc_state: DiscState) 
     )
 
 
+def restore_inference_variables(mgr, variables_template):
+    """Restore only {params, batch_stats} from the newest training checkpoint.
+
+    Inference CLIs (demo/eval) hold model `variables`, not a GenState; this
+    rebuilds the GenState skeleton (adamw opt-state structure is independent
+    of its hyperparameters) so Orbax's strict tree matching succeeds, then
+    strips the training-only parts.
+
+    Returns (variables, step) — the template and step 0 when no checkpoint.
+    """
+    import orbax.checkpoint as ocp
+
+    step = mgr.latest_step()
+    if step is None:
+        return variables_template, 0
+    params = variables_template["params"]
+    skeleton = GenState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables_template["batch_stats"],
+        opt_state=optax.adamw(1e-4).init(params),
+    )
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(gen=ocp.args.StandardRestore(jax.device_get(skeleton))),
+    )["gen"]
+    return {"params": restored.params, "batch_stats": restored.batch_stats}, step
+
+
 def restore_latest(mgr, gen_template: GenState, disc_template: DiscState):
     """Restore the newest checkpoint, or return templates when none exist."""
     import orbax.checkpoint as ocp

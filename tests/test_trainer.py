@@ -182,3 +182,40 @@ class TestAugmentedTraining:
         for k, v in metrics.items():
             assert np.isfinite(float(v)), (k, float(v))
         assert int(new_gen.step) == 1
+
+
+class TestInferenceRestore:
+    def test_restore_variables_from_training_checkpoint(self, setup, tmp_path):
+        """Inference CLIs restore {params, batch_stats} out of a GenState
+        checkpoint (regression: demo --checkpoint failed on tree mismatch)."""
+        from human_3d_reconstruction_tpu.train.trainer import (
+            restore_inference_variables,
+        )
+
+        _, step_fn, gen, disc, smpl_params, batch, mt, mb = setup
+        gen1, disc1, _ = step_fn(gen, disc, smpl_params, batch, mt, mb, jax.random.key(8))
+        mgr = make_checkpoint_manager(str(tmp_path / "ckpt_inf"))
+        save_checkpoint(mgr, 1, gen1, disc1)
+        mgr.wait_until_finished()
+
+        template = {"params": gen.params, "batch_stats": gen.batch_stats}
+        variables, step = restore_inference_variables(mgr, template)
+        assert step == 1
+        same = jax.tree.map(
+            lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+            jax.device_get(gen1.params),
+            variables["params"],
+        )
+        assert all(jax.tree.leaves(same))
+        assert set(variables) == {"params", "batch_stats"}
+
+    def test_restore_empty_dir_returns_template(self, setup, tmp_path):
+        from human_3d_reconstruction_tpu.train.trainer import (
+            restore_inference_variables,
+        )
+
+        _, _, gen, *_ = setup
+        mgr = make_checkpoint_manager(str(tmp_path / "none"))
+        template = {"params": gen.params, "batch_stats": gen.batch_stats}
+        variables, step = restore_inference_variables(mgr, template)
+        assert step == 0 and variables is template
