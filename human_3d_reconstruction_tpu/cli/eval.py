@@ -99,7 +99,6 @@ def main(argv: list[str]) -> None:
     if config.fit_steps > 0:
         # SMPLify-style test-time refinement: fit (theta, beta, cam) to the
         # dataset's 2D keypoints (as a detector stand-in), then score 3D.
-        from human_3d_reconstruction_tpu.cli.common import build_smpl as _  # noqa: F401
         from human_3d_reconstruction_tpu.data.preprocess import transform_keypoints
         from human_3d_reconstruction_tpu.fitting import refine_params
         from human_3d_reconstruction_tpu.smpl.forward import smpl_forward

@@ -7,9 +7,8 @@ import pytest
 
 import jax.numpy as jnp
 
-from human_3d_reconstruction_tpu.config import PRESETS, load_config, parse_overrides
+from human_3d_reconstruction_tpu.config import PRESETS, load_config
 from human_3d_reconstruction_tpu.eval.protocol import (
-    H36M_EVAL_ACTIONS,
     run_protocol,
     synthetic_eval_batches,
 )

@@ -1,7 +1,6 @@
 """Dataset adapter tests: remap tables, synthetic source, collation, mixing."""
 
 import numpy as np
-import pytest
 
 from human_3d_reconstruction_tpu.data.datasets import (
     Batch,

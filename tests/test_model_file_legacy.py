@@ -7,7 +7,7 @@ import types
 import numpy as np
 import pytest
 
-from human_3d_reconstruction_tpu.smpl import load_smpl_model, synthetic_smpl_model
+from human_3d_reconstruction_tpu.smpl import load_smpl_model
 
 
 def make_chumpy_style_pkl(path, model):

@@ -1,7 +1,6 @@
 """Sharding primitive tests + DP inference over the virtual 8-device mesh."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ import pytest
 import jax.numpy as jnp
 
 from human_3d_reconstruction_tpu.data import (
-    CROP_SIZE,
     affine_crop,
     normalize_image,
     preprocess_crops,

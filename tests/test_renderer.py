@@ -1,7 +1,6 @@
 """Rasterizer tests: C++ vs numpy twin equivalence, occlusion, projection."""
 
 import numpy as np
-import pytest
 
 from human_3d_reconstruction_tpu.viz import (
     overlay_mesh,

@@ -13,7 +13,7 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from benchmarks.torch_reference import TorchHMR, TorchResNet50
+from benchmarks.torch_reference import TorchHMR
 from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel, ResNet50
 from human_3d_reconstruction_tpu.models.regressor import default_mean_params
 from human_3d_reconstruction_tpu.utils.torch_import import (

@@ -6,8 +6,6 @@ Uses a small crop size to keep CPU runtime sane — the step function is
 resolution-agnostic.
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 
