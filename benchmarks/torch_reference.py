@@ -65,6 +65,86 @@ class TorchResNet50(nn.Module):
         return x.mean(dim=(2, 3))  # (B, 2048)
 
 
+class BasicBlockTorch(nn.Module):
+    """Canonical basic block (ResNet-18/34), torchvision attribute naming."""
+
+    expansion = 1
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or cin != planes:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + r)
+
+
+class BottleneckTV(Bottleneck):
+    """Bottleneck with torchvision's `downsample` attribute name."""
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__(cin, planes, stride)
+        self.downsample, self.down = self.down, None
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + r)
+
+
+_TV_DEPTHS = {
+    18: (BasicBlockTorch, (2, 2, 2, 2)),
+    34: (BasicBlockTorch, (3, 4, 6, 3)),
+    50: (BottleneckTV, (3, 4, 6, 3)),
+    101: (BottleneckTV, (3, 4, 23, 3)),
+}
+
+
+class TorchResNetTV(nn.Module):
+    """Torchvision-named ResNet of any depth (conv1/bn1/layer{1..4}/...).
+
+    Stands in for real torchvision checkpoints (torchvision isn't in this
+    image): state_dict keys match torchvision's exactly, so the importer's
+    'torchvision' prefix style is tested end-to-end for every depth.
+    """
+
+    def __init__(self, depth: int = 18):
+        super().__init__()
+        block, stage_sizes = _TV_DEPTHS[depth]
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        cin = 64
+        for i, (planes, blocks) in enumerate(zip((64, 128, 256, 512), stage_sizes)):
+            stride = 1 if i == 0 else 2
+            layer = []
+            for b in range(blocks):
+                layer.append(block(cin, planes, stride if b == 0 else 1))
+                cin = planes * block.expansion
+            setattr(self, f"layer{i + 1}", nn.Sequential(*layer))
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for i in (1, 2, 3, 4):
+            x = getattr(self, f"layer{i}")(x)
+        return x.mean(dim=(2, 3))
+
+
 class TorchHMR(nn.Module):
     """Full reference-style pipeline: image -> theta/beta/cam -> mesh."""
 

@@ -102,3 +102,30 @@ def make_recover_from_frames(
         return recover_mesh_fn(model, variables, smpl_params, crops, smpl_path=smpl_path)
 
     return jax.jit(fn)
+
+
+def make_recover_from_single_frame(
+    model: HMRModel, smpl_path: str = "xla", crop_size: int = 224
+):
+    """Serving entry: ONE frame + N boxes -> mesh recovery, ONE program.
+
+    The frame is passed once (H, W, 3) and broadcast to the person axis
+    *inside* the trace, so XLA keeps a single HBM buffer instead of
+    materializing B identical copies (a 1080p frame at bucket 128 would
+    otherwise cost ~3.2 GB).
+
+    Returns jitted fn(variables, smpl_params, frame, centers, scales) ->
+    MeshRecoveryOutput; frame (H, W, 3) in [0, 255], centers (B, 2),
+    scales (B,).
+    """
+    import jax.numpy as jnp
+
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+
+    def fn(variables, smpl_params, frame, centers, scales):
+        B = centers.shape[0]
+        frames = jnp.broadcast_to(frame[None], (B, *frame.shape))
+        crops = preprocess_crops(frames, centers, scales, out_size=crop_size)
+        return recover_mesh_fn(model, variables, smpl_params, crops, smpl_path=smpl_path)
+
+    return jax.jit(fn)

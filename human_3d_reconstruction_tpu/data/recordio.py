@@ -10,17 +10,16 @@ from __future__ import annotations
 
 import ctypes
 import io
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
 from human_3d_reconstruction_tpu.data.datasets import Record
+from human_3d_reconstruction_tpu.utils.native_build import build_native
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "recordio.cpp"
-_SO = _REPO_ROOT / "native" / "librecordio.so"
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -28,13 +27,7 @@ _lib: Optional[ctypes.CDLL] = None
 def _get_lib() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(str(_SO))
+        lib = ctypes.CDLL(str(build_native(_SRC)))
         lib.rio_writer_open.restype = ctypes.c_void_p
         lib.rio_writer_open.argtypes = [ctypes.c_char_p]
         lib.rio_write.restype = ctypes.c_long

@@ -38,6 +38,9 @@ class EvalBatch:
     actions: np.ndarray   # (B,) int indices into the action table
     kp2d: Optional[np.ndarray] = None  # (B, 14, 3) source px + vis; enables
     # SMPLify-style test-time refinement during eval (--fit_steps)
+    n_valid: Optional[int] = None  # real frames; the tail batch of an eval
+    # set is padded to the full batch size so ONE compiled program serves
+    # the whole run (a recompile costs minutes on the tunneled platform)
 
 
 @dataclass
@@ -119,11 +122,12 @@ def run_protocol(
             gt.shape,
         )
         e_mpjpe, e_pa = jax.device_get(score(pred, gt))
-        for i, act in enumerate(batch.actions):
+        n = len(batch.actions) if batch.n_valid is None else batch.n_valid
+        for i, act in enumerate(batch.actions[:n]):
             per_action_err.setdefault(int(act), []).append(
                 (float(e_mpjpe[i]), float(e_pa[i]), 1)
             )
-        total_frames += len(batch.actions)
+        total_frames += n
 
     per_action = {}
     all_mpjpe, all_pa = [], []
@@ -183,14 +187,22 @@ def load_eval_batches(
         else np.zeros(len(ds), np.int64)
     )
     for start in range(0, len(ds), batch_size):
-        idx = range(start, min(start + batch_size, len(ds)))
+        idx = list(range(start, min(start + batch_size, len(ds))))
         recs = [ds[i] for i in idx]
+        n_valid = len(recs)
+        # Pad the ragged tail to the full batch (replicating the last record
+        # keeps values in-distribution) so the predictor and scorer compile
+        # exactly once for the whole eval set; run_protocol drops the pads.
+        recs.extend(recs[-1] for _ in range(batch_size - n_valid))
         batch = collate(recs)
+        acts = actions[idx]
+        acts = np.concatenate([acts, np.repeat(acts[-1:], batch_size - n_valid)])
         yield EvalBatch(
             images=batch.images,
             centers=batch.centers,
             scales=batch.scales,
             gt_joints3d=batch.joints3d,
-            actions=actions[list(idx)],
+            actions=acts,
             kp2d=batch.kp2d,
+            n_valid=n_valid,
         )

@@ -33,11 +33,14 @@ class HMRConfig:
     dropout_rate: float = 0.0
 
 
-_RESNET_STAGES = {
-    "resnet18": (2, 2, 2, 2),   # note: still bottleneck blocks (2048-d out)
-    "resnet34": (3, 4, 6, 3),
-    "resnet50": (3, 4, 6, 3),
-    "resnet101": (3, 4, 23, 3),
+# (stage sizes, block type): 18/34 are true basic-block nets (512-d pooled
+# feature), 50/101 bottleneck (2048-d) — torchvision-faithful, so checkpoints
+# of every depth import.
+_RESNET_VARIANTS = {
+    "resnet18": ((2, 2, 2, 2), "basic"),
+    "resnet34": ((3, 4, 6, 3), "basic"),
+    "resnet50": ((3, 4, 6, 3), "bottleneck"),
+    "resnet101": ((3, 4, 23, 3), "bottleneck"),
 }
 
 
@@ -46,7 +49,7 @@ class HMROutput(NamedTuple):
     beta: jax.Array         # (B, 10) final shape
     cam: jax.Array          # (B, 3) final weak-perspective camera
     all_params: jax.Array   # (T, B, 85) every IEF iteration (training loss)
-    features: jax.Array     # (B, 2048) encoder feature
+    features: jax.Array     # (B, D) encoder feature (D=2048 / 512 by depth)
 
 
 class HMRModel(nn.Module):
@@ -68,9 +71,10 @@ class HMRModel(nn.Module):
                 config=HourglassConfig(dtype=cfg.encoder_dtype), name="encoder"
             )(images, train=train)
         else:
+            stages, block = _RESNET_VARIANTS[cfg.encoder]
             features = ResNet50(
                 config=ResNetConfig(
-                    stage_sizes=_RESNET_STAGES[cfg.encoder], dtype=cfg.encoder_dtype
+                    stage_sizes=stages, block=block, dtype=cfg.encoder_dtype
                 ),
                 name="encoder",
             )(images, train=train)

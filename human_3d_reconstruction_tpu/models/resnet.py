@@ -30,7 +30,48 @@ ModuleDef = Any
 class ResNetConfig:
     stage_sizes: tuple = (3, 4, 6, 3)  # ResNet-50
     num_filters: int = 64
+    block: str = "bottleneck"  # "bottleneck" (50/101) | "basic" (18/34)
     dtype: Any = jnp.float32  # compute dtype (bf16 for max MXU throughput)
+
+    @property
+    def feature_dim(self) -> int:
+        """Pooled output width: 2048 for bottleneck nets, 512 for basic."""
+        expansion = 4 if self.block == "bottleneck" else 1
+        return self.num_filters * 8 * expansion
+
+
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block (ResNet-18/34), expansion 1.
+
+    Matches the canonical (torchvision) BasicBlock so 18/34 checkpoints
+    import bit-faithfully: conv1 carries the stride, the shortcut is a
+    1x1/stride projection when shape changes.
+    """
+
+    filters: int
+    strides: int
+    conv: ModuleDef
+    norm: ModuleDef
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(
+            self.filters, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)], name="conv1",
+        )(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.filters, (1, 1), strides=(self.strides, self.strides), name="conv_proj"
+            )(residual)
+            residual = self.norm(name="bn_proj")(residual)
+
+        return nn.relu(residual + y)
 
 
 class BottleneckBlock(nn.Module):
@@ -91,10 +132,11 @@ class ResNet50(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = BasicBlock if cfg.block == "basic" else BottleneckBlock
         for i, block_count in enumerate(cfg.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = BottleneckBlock(
+                x = block_cls(
                     filters=cfg.num_filters * 2**i,
                     strides=strides,
                     conv=conv,
@@ -102,5 +144,5 @@ class ResNet50(nn.Module):
                     name=f"stage{i + 1}_block{j + 1}",
                 )(x)
 
-        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, feature_dim)
         return x.astype(jnp.float32)  # feature handoff to the head is f32

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from human_3d_reconstruction_tpu.api import (
     MeshRecoveryOutput,
-    make_recover_from_frames,
+    make_recover_from_single_frame,
 )
 from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
 from human_3d_reconstruction_tpu.utils.bucketing import DEFAULT_BUCKETS, pad_people
@@ -69,30 +69,40 @@ class MeshRecoverySession:
             self.smpl_params = prepare_fused_smpl(smpl_model.as_dict())
         else:
             self.smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
-        # One fused device program: preprocess + network + SMPL decode.
-        self._recover = make_recover_from_frames(
+        # One fused device program: preprocess + network + SMPL decode. The
+        # frame crosses the jit boundary ONCE (H, W, 3); the broadcast to the
+        # person axis happens inside the trace so HBM holds a single copy.
+        self._recover = make_recover_from_single_frame(
             self.model, smpl_path=smpl_path, crop_size=crop_size
         )
 
     # -- core ---------------------------------------------------------------
 
-    def _run(self, frame: np.ndarray, boxes: np.ndarray) -> MeshRecoveryOutput:
+    def _run_chunk(self, frame: jax.Array, boxes: np.ndarray) -> MeshRecoveryOutput:
         N = len(boxes)
-        padded, mask = pad_people(
+        padded, _ = pad_people(
             {"centers": boxes[:, :2], "scales": boxes[:, 2]}, N, self.buckets
-        )
-        B = len(mask)
-        frames = jnp.broadcast_to(
-            jnp.asarray(frame, jnp.float32), (B, *frame.shape)
         )
         out = self._recover(
             self.variables,
             self.smpl_params,
-            frames,
+            frame,
             jnp.asarray(padded["centers"]),
             jnp.asarray(padded["scales"]),
         )
         return jax.tree.map(lambda x: x[:N], out)
+
+    def _run(self, frame: np.ndarray, boxes: np.ndarray) -> MeshRecoveryOutput:
+        """Any N: crowds beyond the largest bucket run in chunked batches."""
+        frame = jnp.asarray(frame, jnp.float32)
+        cap = self.buckets[-1]
+        if len(boxes) <= cap:
+            return self._run_chunk(frame, boxes)
+        chunks = [
+            self._run_chunk(frame, boxes[i : i + cap])
+            for i in range(0, len(boxes), cap)
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
     def recover(self, frame: np.ndarray, boxes) -> list[PersonResult]:
         """One frame (H, W, 3) [0,255] + boxes (N, 3) [cx, cy, scale]."""

@@ -144,6 +144,11 @@ def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
     )(batch["kp2d"][:, :, :2], batch["centers"], scales, rots, flips)
     vis = batch["kp2d"][:, :, 2]
     vis = jnp.where(flips[:, None] > 0, vis[:, LSP_FLIP_MAP], vis)
+    # Scale/rot jitter can push keypoints outside the crop; zero their
+    # visibility so the 2D loss never supervises against content the crop
+    # discarded (reference-family trainers do the same on the host).
+    in_crop = (jnp.abs(kp2d[..., 0]) <= 1.0) & (jnp.abs(kp2d[..., 1]) <= 1.0)
+    vis = vis * in_crop.astype(vis.dtype)
 
     # 3D joints rotate with the in-plane aug and mirror on flip.
     j3d = batch["joints3d"]

@@ -17,13 +17,21 @@ DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
 def bucket_size(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
-    """Smallest bucket >= n (the largest bucket caps batch size)."""
+    """Smallest bucket >= n; raises when n exceeds the largest bucket.
+
+    Callers that must serve arbitrary N chunk into largest-bucket batches
+    (MeshRecoverySession does); silently capping here would hand back a
+    mask shorter than the padded arrays.
+    """
     if n <= 0:
         raise ValueError(f"need at least one person, got {n}")
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    raise ValueError(
+        f"{n} persons exceeds the largest bucket {buckets[-1]}; "
+        "chunk the request into batches of at most that size"
+    )
 
 
 def pad_people(

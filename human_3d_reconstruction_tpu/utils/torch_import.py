@@ -38,28 +38,63 @@ def _linear(w) -> np.ndarray:
 
 
 # Our stage/block naming: stage{1..4}_block{1..count}; torchvision (and the
-# bench reference's flat `body.{idx}`) order blocks sequentially.
-_STAGE_SIZES = (3, 4, 6, 3)
+# bench reference's flat `body.{idx}`) order blocks sequentially. Stage sizes
+# per depth (torchvision resnet18/34/50/101).
+_STAGE_SIZES_BY_DEPTH = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
 
 
-def _iter_blocks():
-    for stage, count in enumerate(_STAGE_SIZES, start=1):
-        for block in range(1, count + 1):
-            yield stage, block
+def _infer_layout(state: Mapping[str, Any], prefix_style: str) -> tuple[tuple, int]:
+    """(stage_sizes, convs_per_block) from the state dict's own keys.
+
+    Basic blocks (18/34) have conv1/conv2; bottlenecks (50/101) conv1..3 —
+    so one importer serves every torchvision depth without a depth flag.
+    """
+    if prefix_style == "torchvision":
+        sizes = tuple(
+            1 + max(
+                (int(k.split(".")[1]) for k in state if k.startswith(f"layer{s}.")),
+                default=-1,
+            )
+            for s in (1, 2, 3, 4)
+        )
+        probe = "layer1.0"
+    else:  # bench: flat body.{idx} — count total blocks, match a known depth
+        n_blocks = 1 + max(
+            (int(k.split(".")[1]) for k in state if k.startswith("body.")), default=-1
+        )
+        by_total = {sum(v): v for v in _STAGE_SIZES_BY_DEPTH.values()}
+        sizes = by_total[n_blocks]
+        probe = "body.0"
+    convs = 3 if f"{probe}.conv3.weight" in state else 2
+    return sizes, convs
 
 
 def import_torch_resnet50(
     state: Mapping[str, Any], prefix_style: str = "torchvision"
 ) -> tuple[dict, dict]:
-    """torch ResNet-50 state_dict -> (flax params, batch_stats) subtrees.
+    """torch ResNet state_dict (any depth) -> (flax params, batch_stats).
 
     prefix_style:
       'torchvision' — conv1., bn1., layer{s}.{b}.conv{k}/bn{k}/downsample.{0,1}
-      'bench'       — benchmarks.torch_reference.TorchHMR naming:
+      'bench'       — benchmarks.torch_reference naming:
                       stem.{0,1}, body.{idx}.conv{k}/bn{k}/down.{0,1}
+
+    Depth (18/34/50/101) and block type (basic/bottleneck) are inferred from
+    the keys, matching models/resnet.py's BasicBlock/BottleneckBlock naming.
     """
     params: dict = {}
     stats: dict = {}
+    stage_sizes, convs_per_block = _infer_layout(state, prefix_style)
+
+    def iter_blocks():
+        for stage, count in enumerate(stage_sizes, start=1):
+            for block in range(1, count + 1):
+                yield stage, block
 
     def put_bn(name: str, tkey: str):
         params[name] = {"scale": _np(state[f"{tkey}.weight"]), "bias": _np(state[f"{tkey}.bias"])}
@@ -79,7 +114,7 @@ def import_torch_resnet50(
         stem_conv, stem_bn = "stem.0", "stem.1"
         flat = {}
         idx = 0
-        for stage, block in _iter_blocks():
+        for stage, block in iter_blocks():
             flat[(stage, block)] = f"body.{idx}"
             idx += 1
 
@@ -93,16 +128,16 @@ def import_torch_resnet50(
     params["conv_init"] = {"kernel": _conv(state[f"{stem_conv}.weight"])}
     put_bn("bn_init", stem_bn)
 
-    for stage, block in _iter_blocks():
+    for stage, block in iter_blocks():
         base = block_key(stage, block)
         ours = f"stage{stage}_block{block}"
         sub: dict = {}
-        for k in (1, 2, 3):
+        for k in range(1, convs_per_block + 1):
             sub[f"conv{k}"] = {"kernel": _conv(state[f"{base}.conv{k}.weight"])}
         params[ours] = sub
         # BN subtrees live inside the block in our tree:
         block_stats: dict = {}
-        for k in (1, 2, 3):
+        for k in range(1, convs_per_block + 1):
             tkey = f"{base}.bn{k}"
             sub[f"bn{k}"] = {
                 "scale": _np(state[f"{tkey}.weight"]),

@@ -13,31 +13,25 @@ All host-side: visualization is not in any training/eval hot path.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
 
+from human_3d_reconstruction_tpu.utils.native_build import build_native
+
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "rasterizer.cpp"
-_SO = _REPO_ROOT / "native" / "librasterizer.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _backend = "unbuilt"
 
 
 def _build_library() -> Optional[ctypes.CDLL]:
-    """Compile the rasterizer on first use (cached .so next to the source)."""
+    """Compile the rasterizer on first use (content-addressed cached .so)."""
     global _backend
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(str(_SO))
+        lib = ctypes.CDLL(str(build_native(_SRC)))
         lib.rasterize_mesh.restype = ctypes.c_long
         lib.rasterize_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_long,

@@ -16,11 +16,16 @@ class TestBucketing:
         assert bucket_size(3) == 4
         assert bucket_size(4) == 4
         assert bucket_size(5) == 8
-        assert bucket_size(1000) == DEFAULT_BUCKETS[-1]
+        assert bucket_size(DEFAULT_BUCKETS[-1]) == DEFAULT_BUCKETS[-1]
 
     def test_zero_rejected(self):
         with pytest.raises(ValueError):
             bucket_size(0)
+
+    def test_beyond_largest_bucket_rejected(self):
+        """Silently capping would return a mask shorter than the arrays."""
+        with pytest.raises(ValueError):
+            bucket_size(DEFAULT_BUCKETS[-1] + 1)
 
     def test_pad_replicates_and_masks(self, rng):
         arrays = {
@@ -44,5 +49,5 @@ class TestBucketing:
 
     def test_bucket_count_is_bounded(self):
         """A whole video of varying N compiles at most len(buckets) programs."""
-        sizes = {bucket_size(n) for n in range(1, 200)}
+        sizes = {bucket_size(n) for n in range(1, DEFAULT_BUCKETS[-1] + 1)}
         assert len(sizes) <= len(DEFAULT_BUCKETS)

@@ -116,8 +116,45 @@ class TestEvalIndexStreaming:
             actions=np.asarray([0, 0, 1, 2, 2], np.int64),
         )
         batches = list(load_eval_batches(tmp_path / "h36m_idx.npz", batch_size=2))
-        assert len(batches) == 3  # 2+2+1
-        assert batches[0].images.shape[0] == 2
-        assert batches[2].images.shape[0] == 1
+        assert len(batches) == 3  # 2+2+1(padded to 2)
+        # The ragged tail is padded to the full batch so one compiled program
+        # serves the whole eval run; n_valid marks the real frames.
+        assert all(b.images.shape[0] == 2 for b in batches)
+        assert [b.n_valid for b in batches] == [2, 2, 1]
         assert batches[0].gt_joints3d.shape == (2, 14, 3)
         np.testing.assert_array_equal(batches[1].actions, [1, 2])
+        np.testing.assert_array_equal(batches[2].actions, [2, 2])  # pad repeats last
+
+    def test_padded_tail_scores_only_real_frames(self, tmp_path, rng):
+        import cv2
+
+        from human_3d_reconstruction_tpu.eval.protocol import (
+            load_eval_batches,
+            run_protocol,
+        )
+
+        n = 3
+        paths = []
+        for i in range(n):
+            p = f"g{i}.png"
+            cv2.imwrite(str(tmp_path / p), rng.integers(0, 255, (50, 60, 3)).astype(np.uint8))
+            paths.append(p)
+        np.savez(
+            tmp_path / "idx.npz",
+            image_paths=np.asarray(paths),
+            centers=np.tile([[30.0, 25.0]], (n, 1)).astype(np.float32),
+            scales=np.full((n,), 40.0, np.float32),
+            keypoints=rng.normal(size=(n, 17, 3)).astype(np.float32),
+            joints3d=rng.normal(scale=0.3, size=(n, 17, 3)).astype(np.float32),
+        )
+        shapes_seen = set()
+        batches = list(load_eval_batches(tmp_path / "idx.npz", batch_size=2))
+
+        def predict(images, centers, scales, batch=None):
+            shapes_seen.add(images.shape)
+            return batch.gt_joints3d  # perfect prediction incl. pad rows
+
+        report = run_protocol(predict, iter(batches))
+        assert report.num_frames == 3  # pads not counted
+        assert len(shapes_seen) == 1  # ONE program shape for the whole run
+        assert report.mpjpe_mm < 1e-6

@@ -48,6 +48,21 @@ class TestServing:
         trio = session.recover(frame, [box, [40.0, 30.0, 50.0], [100.0, 80.0, 60.0]])[0]
         np.testing.assert_allclose(solo.verts, trio.verts, atol=1e-5)
 
+    def test_crowd_beyond_largest_bucket_chunks(self, smpl_model, frame, rng):
+        """N past the largest bucket is served by chunked batches, not capped."""
+        import jax.numpy as jnp
+
+        model = HMRModel(config=HMRConfig())
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        small = MeshRecoverySession(
+            variables, smpl_model, crop_size=64, smpl_path="xla", buckets=(1, 2)
+        )
+        boxes = rng.uniform(40, 80, (5, 3)).astype(np.float32)
+        results = small.recover(frame, boxes)
+        assert len(results) == 5
+        solo = small.recover(frame, boxes[:1])[0]
+        np.testing.assert_allclose(solo.verts, results[0].verts, atol=1e-5)
+
     def test_batch_api(self, session, frame, rng):
         frame2 = rng.uniform(0, 255, (120, 160, 3)).astype(np.float32)
         out = session.recover_batch(
