@@ -70,9 +70,39 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
     # Production serving config: bf16 encoder (MXU fast path) + f32 SMPL
-    # decode (holds the 1e-3 m parity bar — SMPL-space math never in bf16).
-    model = HMRModel(config=HMRConfig(encoder_dtype=jnp.bfloat16))
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    # decode (holds the 1e-3 m parity bar — SMPL-space math never in bf16),
+    # with the serving graph rewrite (space-to-depth stem + folded BN —
+    # exact reparameterizations, equivalence-tested in tests/test_models.py).
+    from human_3d_reconstruction_tpu.models.hmr import optimize_for_serving
+
+    train_config = HMRConfig(encoder_dtype=jnp.bfloat16)
+    train_model = HMRModel(config=train_config)
+    trained_vars = train_model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    if "--int8" in sys.argv or "--int8-static" in sys.argv:
+        # W8A8 encoder (percent-level drift, tests/test_quant.py) — opt-in
+        # because the default bench config is the numerically-exact serving
+        # rewrite. --int8-static uses calibrated activation scales (no
+        # in-graph max pass; the int8 cast fuses into producer epilogues).
+        from human_3d_reconstruction_tpu.models.quant import (
+            HMRModelInt8,
+            calibrate_activation_scales,
+            quantize_hmr_for_serving,
+        )
+
+        static = "--int8-static" in sys.argv
+        serve_config, variables = quantize_hmr_for_serving(
+            train_config, trained_vars, static_scale=static
+        )
+        model = HMRModelInt8(config=serve_config, static_scale=static)
+        if static:
+            calib = jnp.asarray(
+                np.random.default_rng(7).normal(size=(8, 224, 224, 3)).astype(np.float32)
+            )
+            variables = calibrate_activation_scales(model, variables, calib)
+        log(f"encoder: int8 W8A8 ({'static' if static else 'dynamic'} act scales)")
+    else:
+        serve_config, variables = optimize_for_serving(train_config, trained_vars)
+        model = HMRModel(config=serve_config)
     smpl_params = prepare_fused_smpl(smpl_model.as_dict())
     from human_3d_reconstruction_tpu.api import make_recover_from_frames
 

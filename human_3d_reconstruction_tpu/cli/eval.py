@@ -99,6 +99,11 @@ def main(argv: list[str]) -> None:
     if config.fit_steps > 0:
         # SMPLify-style test-time refinement: fit (theta, beta, cam) to the
         # dataset's 2D keypoints (as a detector stand-in), then score 3D.
+        # The WHOLE predict — preprocess + HMR + fit scan + final decode —
+        # is ONE jitted program: with tail-padded batches an entire eval run
+        # compiles exactly two programs (predict + score), and no SMPL math
+        # ever runs eagerly (the ~27 ms/op tunnel dispatch trap).
+        from human_3d_reconstruction_tpu.api import recover_mesh_fn
         from human_3d_reconstruction_tpu.data.preprocess import transform_keypoints
         from human_3d_reconstruction_tpu.fitting import refine_params
         from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
@@ -106,22 +111,35 @@ def main(argv: list[str]) -> None:
         raw_smpl = jax.tree.map(jnp.asarray, smpl_model.as_dict())
         echo(f"test-time refinement ON: {config.fit_steps} steps/batch")
 
-        def predict_joints(images, centers, scales, batch=None):
-            out = run_model(images, centers, scales)
-            if batch is None or batch.kp2d is None:
-                return out.eval_joints3d[:, :NUM_KP]
-            kp_crop = jax.vmap(transform_keypoints)(
-                jnp.asarray(batch.kp2d[:, :, :2]),
-                jnp.asarray(batch.centers),
-                jnp.asarray(batch.scales),
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("fit_steps",))
+        def fit_predict(variables, images, centers, scales, kp2d, *, fit_steps):
+            crops = preprocess_crops(
+                images, centers, scales, out_size=config.data.crop_size
             )
+            out = recover_mesh_fn(
+                model, variables, smpl_params, crops, smpl_path=config.smpl_path
+            )
+            kp_crop = jax.vmap(transform_keypoints)(kp2d[:, :, :2], centers, scales)
             result = refine_params(
                 raw_smpl, out.theta, out.beta, out.cam,
-                kp_crop, jnp.asarray(batch.kp2d[:, :, 2]),
-                num_steps=config.fit_steps,
+                kp_crop, kp2d[:, :, 2], num_steps=fit_steps,
             )
             refined = smpl_forward(raw_smpl, result.theta, result.beta)
             return refined.eval_joints[:, :NUM_KP]
+
+        def predict_joints(images, centers, scales, batch=None):
+            if batch is None or batch.kp2d is None:
+                return run_model(images, centers, scales).eval_joints3d[:, :NUM_KP]
+            return fit_predict(
+                variables,
+                jnp.asarray(images),
+                jnp.asarray(centers),
+                jnp.asarray(scales),
+                jnp.asarray(batch.kp2d),
+                fit_steps=config.fit_steps,
+            )
     else:
         def predict_joints(images, centers, scales):
             return run_model(images, centers, scales).eval_joints3d[:, :NUM_KP]

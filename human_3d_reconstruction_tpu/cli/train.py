@@ -67,7 +67,13 @@ def main(argv: list[str]) -> None:
         weights = [1.0]
         echo("no --data.sources: training on the synthetic dataset")
     loader = iter(
-        MixedLoader(datasets, config.data.batch_size, weights, seed=config.seed)
+        MixedLoader(
+            datasets,
+            config.data.batch_size,
+            weights,
+            seed=config.seed,
+            num_workers=config.data.num_workers,
+        )
     )
 
     mosh = (
@@ -86,7 +92,20 @@ def main(argv: list[str]) -> None:
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
         train_cfg, jax.random.key(config.seed), smpl_model.as_dict()
     )
-    step_fn = make_jitted_train_step(train_cfg, model, disc_mod, g_tx, d_tx)
+    smpl_apply = None
+    if config.smpl_path == "pallas":
+        # Concrete prepared params closed into the loss: Pallas forward AND
+        # Pallas backward run inside the train step (f32 basis — training
+        # gradients hold the strict parity bar).
+        from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+        from human_3d_reconstruction_tpu.ops.fused_smpl import smpl_forward_fused
+
+        prepared = prepare_fused_smpl(smpl_model.as_dict())
+        smpl_apply = lambda _, theta, beta: smpl_forward_fused(prepared, theta, beta)
+        echo("SMPL decode in train loss: fused Pallas fwd+bwd")
+    step_fn = make_jitted_train_step(
+        train_cfg, model, disc_mod, g_tx, d_tx, smpl_apply=smpl_apply
+    )
 
     mgr = make_checkpoint_manager(config.checkpoint_dir)
     gen, disc, start_step = restore_latest(mgr, gen, disc)

@@ -197,11 +197,37 @@ class MoshParamSource:
         return cls(z["thetas"], z["betas"])
 
     @classmethod
-    def synthetic(cls, rng: np.random.Generator, n: int = 4096) -> "MoshParamSource":
-        thetas = rng.normal(scale=0.25, size=(n, 72)).astype(np.float32)
-        thetas[:, :3] = rng.normal(scale=0.1, size=(n, 3))  # near-upright root
-        betas = rng.normal(scale=0.8, size=(n, 10)).astype(np.float32)
-        return cls(thetas, betas)
+    def synthetic(
+        cls, rng: np.random.Generator, n: int = 4096, anchors: int = 96
+    ) -> "MoshParamSource":
+        """Manifold-like pose pool (no real mosh data in this image).
+
+        Real mosh'd poses lie on a low-dimensional correlated manifold, not
+        iid noise — so the pool is built from a small set of anchor poses
+        with per-joint-type amplitude (hinge joints like knees/elbows move
+        most, spine/root least), convexly mixed pairwise plus small jitter.
+        The discriminator then trains against samples with joint-to-joint
+        correlation structure rather than white noise.
+        """
+        # SMPL joint order: 0 root, 1/2 hips, 3 spine, 4/5 knees, 6 spine,
+        # 7/8 ankles, 9 spine, 10/11 feet, 12 neck, 13/14 collars, 15 head,
+        # 16/17 shoulders, 18/19 elbows, 20/21 wrists, 22/23 hands.
+        amp = np.array(
+            [0.10, 0.35, 0.35, 0.15, 0.60, 0.60, 0.15, 0.40, 0.40, 0.10,
+             0.15, 0.15, 0.20, 0.20, 0.20, 0.25, 0.45, 0.45, 0.60, 0.60,
+             0.30, 0.30, 0.10, 0.10],
+            np.float32,
+        )
+        pool = rng.normal(size=(anchors, 24, 3)).astype(np.float32) * amp[:, None]
+        i, j = rng.integers(0, anchors, (2, n))
+        t = rng.beta(2.0, 2.0, size=(n, 1, 1)).astype(np.float32)
+        thetas = (1.0 - t) * pool[i] + t * pool[j]
+        thetas += rng.normal(scale=0.03, size=thetas.shape).astype(np.float32)
+        thetas = thetas.reshape(n, 72)
+        # Anchor betas too: shapes cluster around a few body types.
+        beta_pool = rng.normal(scale=0.8, size=(anchors, 10)).astype(np.float32)
+        betas = (1.0 - t[:, :, 0]) * beta_pool[i] + t[:, :, 0] * beta_pool[j]
+        return cls(thetas, betas.astype(np.float32))
 
     def sample(self, rng: np.random.Generator, n: int) -> tuple[np.ndarray, np.ndarray]:
         idx = rng.integers(0, len(self.thetas), size=n)
@@ -317,9 +343,17 @@ def collate(records: Sequence[Record]) -> Batch:
 class MixedLoader:
     """Uniformly mixes several datasets, yielding collated batches forever.
 
-    The reference concatenates datasets and shuffles (ConcatDataset +
-    DataLoader); sampling ratios are configurable here because HMR's
-    training recipe weights 2D vs 3D sources.
+    The reference concatenates datasets and shuffles behind a multi-worker
+    DataLoader; sampling ratios are configurable here because HMR's training
+    recipe weights 2D vs 3D sources.
+
+    `num_workers > 0` assembles batches on a thread pool: each worker
+    decodes and collates a COMPLETE batch (image decode releases the GIL,
+    so threads give real parallelism without pickling datasets into
+    subprocesses), and a sliding window of in-flight batches keeps the
+    host ahead of the accelerator. Sampling is per-batch-deterministic —
+    batch k's records depend only on (seed, k), never on thread timing —
+    so the stream is bit-identical at any worker count.
     """
 
     def __init__(
@@ -328,18 +362,45 @@ class MixedLoader:
         batch_size: int,
         weights: Optional[Sequence[float]] = None,
         seed: int = 0,
+        num_workers: int = 0,
     ):
         assert datasets, "need at least one dataset"
         self.datasets = list(datasets)
         self.batch_size = batch_size
         w = np.asarray(weights if weights is not None else [1.0] * len(datasets), np.float64)
         self.weights = w / w.sum()
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.num_workers = num_workers
+
+    def _build_batch(self, k: int) -> Batch:
+        """Decode + collate batch k (pure function of (seed, k))."""
+        rng = np.random.default_rng((self.seed, k))
+        ds_idx = rng.choice(len(self.datasets), size=self.batch_size, p=self.weights)
+        recs = [
+            self.datasets[d][int(rng.integers(0, len(self.datasets[d])))]
+            for d in ds_idx
+        ]
+        return collate(recs)
 
     def __iter__(self) -> Iterator[Batch]:
-        while True:
-            recs = []
-            for _ in range(self.batch_size):
-                d = self.datasets[self.rng.choice(len(self.datasets), p=self.weights)]
-                recs.append(d[int(self.rng.integers(0, len(d)))])
-            yield collate(recs)
+        if self.num_workers <= 0:
+            k = 0
+            while True:
+                yield self._build_batch(k)
+                k += 1
+            return
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = 2 * self.num_workers  # double-buffer per worker
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending: deque = deque(
+                pool.submit(self._build_batch, k) for k in range(window)
+            )
+            k = window
+            while True:
+                batch = pending.popleft().result()
+                pending.append(pool.submit(self._build_batch, k))
+                k += 1
+                yield batch

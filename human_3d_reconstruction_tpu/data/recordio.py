@@ -114,16 +114,83 @@ _FIELDS = (
     "theta", "beta", "has_smpl",
 )
 
+# Raw fixed-layout payload (v1): header + uint8 image + one f32 annotation
+# block. Parsing is two frombuffer calls (~memcpy speed) — measured ~an
+# order of magnitude cheaper than npz-in-zip parsing per record, which
+# dominated the packed loader. Legacy npz blobs (zip magic "PK") still read.
+_RAW_MAGIC = b"HMR1"
+# annotation block: center 2 + scale 1 + kp2d 42 + joints3d 42 + has_3d 1
+#                 + theta 72 + beta 10 + has_smpl 1 = 171 f32
+_ANN_SPLITS = np.cumsum([2, 1, 42, 42, 1, 72, 10])
+_ANN_LEN = 171
+
 
 def _record_to_bytes(rec: Record) -> bytes:
+    import struct
+
+    img = np.ascontiguousarray(rec.image)
+    kp2d = np.asarray(rec.kp2d, np.float32)
+    j3d = np.asarray(rec.joints3d, np.float32)
+    if (
+        img.ndim == 3 and img.shape[2] == 3
+        and kp2d.shape == (14, 3) and j3d.shape == (14, 3)
+    ):
+        if img.dtype == np.float32:
+            # Pixels are [0, 255]: store uint8 — 4x smaller records; the
+            # loader throughput scales with record size on this host.
+            img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        if img.dtype == np.uint8:
+            ann = np.concatenate(
+                [
+                    np.asarray(rec.center, np.float32).ravel(),
+                    np.float32(rec.scale).reshape(1),
+                    kp2d.ravel(),
+                    j3d.ravel(),
+                    np.float32(rec.has_3d).reshape(1),
+                    np.asarray(rec.theta, np.float32).ravel(),
+                    np.asarray(rec.beta, np.float32).ravel(),
+                    np.float32(rec.has_smpl).reshape(1),
+                ]
+            )
+            header = struct.pack("<4sII", _RAW_MAGIC, img.shape[0], img.shape[1])
+            return header + img.tobytes() + ann.astype(np.float32).tobytes()
+    # Fallback for non-standard shapes: self-describing npz blob.
     bio = io.BytesIO()
     np.savez(bio, **{f: np.asarray(getattr(rec, f)) for f in _FIELDS})
     return bio.getvalue()
 
 
 def _record_from_bytes(blob: bytes) -> Record:
+    if blob[:4] == _RAW_MAGIC:
+        import struct
+
+        H, W = struct.unpack_from("<II", blob, 4)
+        off = 12
+        img = (
+            np.frombuffer(blob, np.uint8, H * W * 3, off)
+            .reshape(H, W, 3)
+            .astype(np.float32)
+        )
+        ann = np.frombuffer(blob, np.float32, _ANN_LEN, off + H * W * 3)
+        center, scale, kp2d, j3d, has_3d, theta, beta, has_smpl = np.split(
+            ann, _ANN_SPLITS
+        )
+        return Record(
+            image=img,
+            center=center.copy(),
+            scale=scale[0],
+            kp2d=kp2d.reshape(14, 3).copy(),
+            joints3d=j3d.reshape(14, 3).copy(),
+            has_3d=has_3d[0],
+            theta=theta.copy(),
+            beta=beta.copy(),
+            has_smpl=has_smpl[0],
+        )
     z = np.load(io.BytesIO(blob))
-    return Record(**{f: z[f] for f in _FIELDS})
+    fields = {f: z[f] for f in _FIELDS}
+    if fields["image"].dtype == np.uint8:  # quantized at pack time
+        fields["image"] = fields["image"].astype(np.float32)
+    return Record(**fields)
 
 
 def pack_dataset(dataset, path: str | Path, limit: Optional[int] = None) -> int:

@@ -30,6 +30,8 @@ class HMRConfig:
     hidden_size: int = 1024
     encoder: str = "resnet50"  # resnet18/34/50/101 | hourglass
     encoder_dtype: Any = jnp.float32  # bf16 for max throughput
+    encoder_stem: str = "conv7"  # 's2d': MXU-friendly space-to-depth stem
+    encoder_fold_bn: bool = False  # serving: BN folded into conv weights
     dropout_rate: float = 0.0
 
 
@@ -74,7 +76,11 @@ class HMRModel(nn.Module):
             stages, block = _RESNET_VARIANTS[cfg.encoder]
             features = ResNet50(
                 config=ResNetConfig(
-                    stage_sizes=stages, block=block, dtype=cfg.encoder_dtype
+                    stage_sizes=stages,
+                    block=block,
+                    stem=cfg.encoder_stem,
+                    fold_bn=cfg.encoder_fold_bn,
+                    dtype=cfg.encoder_dtype,
                 ),
                 name="encoder",
             )(images, train=train)
@@ -90,3 +96,40 @@ class HMRModel(nn.Module):
         return HMROutput(
             theta=theta, beta=beta, cam=cam, all_params=all_params, features=features
         )
+
+
+def optimize_for_serving(
+    config: HMRConfig, variables
+) -> tuple[HMRConfig, dict]:
+    """One-call serving rewrite: s2d stem + folded BN, exact same outputs.
+
+    Takes a trained/imported conv7+BN checkpoint and returns (new config,
+    new variables) for the faster serving graph — the MXU-friendly
+    space-to-depth stem and normalization-free conv->relu chains. Only the
+    weights change (exact reparameterizations, equivalence-tested); use the
+    returned config to build the model.
+    """
+    if not config.encoder.startswith("resnet"):
+        raise ValueError(f"serving rewrite supports resnet encoders, got {config.encoder}")
+    if config.encoder_fold_bn:
+        return config, variables  # already optimized
+
+    from human_3d_reconstruction_tpu.models.resnet import (
+        convert_stem_to_s2d,
+        fold_bn_variables,
+    )
+
+    enc = {
+        "params": variables["params"]["encoder"],
+        "batch_stats": variables["batch_stats"]["encoder"],
+    }
+    if config.encoder_stem == "conv7":
+        enc = convert_stem_to_s2d(enc)
+    enc = fold_bn_variables(enc)
+    new_variables = {
+        "params": {**variables["params"], "encoder": enc["params"]}
+    }
+    new_config = dataclasses.replace(
+        config, encoder_stem="s2d", encoder_fold_bn=True
+    )
+    return new_config, new_variables

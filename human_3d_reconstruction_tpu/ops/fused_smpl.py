@@ -287,10 +287,17 @@ def _lbs_bwd_pallas_call(
     )(coeffs, template, dirs, weightsT, At, g)
 
 
-def _make_diff_lbs(template, dirs, weightsT, vert_tile: int, interpret: bool):
+def _make_diff_lbs(
+    template, dirs, weightsT, vert_tile: int, bwd_vert_tile: int, interpret: bool
+):
     """Natively-differentiable fused LBS at its natural (coeffs, At)
     boundary: Pallas forward AND Pallas backward. Requires concrete
-    (non-traced) param arrays — they are closed over as constants."""
+    (non-traced) param arrays — they are closed over as constants.
+
+    The backward runs its own (smaller) tile: it keeps ~65% more live VMEM
+    per tile than the forward (the g block, both accumulators, and the
+    recomputed v_posed/T plus their cotangents), so the forward's tile can
+    exceed the 16 MB scoped-vmem limit in the bwd kernel (hit at B=128)."""
 
     @jax.custom_vjp
     def op(coeffs, At):
@@ -302,7 +309,7 @@ def _make_diff_lbs(template, dirs, weightsT, vert_tile: int, interpret: bool):
     def bwd(res, g):
         coeffs, At = res
         return _lbs_bwd_pallas_call(
-            coeffs, template, dirs, weightsT, At, g, vert_tile, interpret
+            coeffs, template, dirs, weightsT, At, g, bwd_vert_tile, interpret
         )
 
     op.defvjp(fwd, bwd)
@@ -343,6 +350,7 @@ def _fused_core(
             prepared["basis_dirs"],
             prepared["weightsT"],
             _static_vert_tile(prepared, B),
+            _static_vert_tile(prepared, B, backward=True),
             interpret,
         )
         verts_cm = op(coeffs, At)
@@ -372,20 +380,24 @@ def _static_int(prepared: dict, key: str, default: int) -> int:
     return int(val)
 
 
-def _static_vert_tile(prepared: dict, batch: int) -> int:
+def _static_vert_tile(prepared: dict, batch: int, backward: bool = False) -> int:
     """Tile size: as large as VMEM allows for this batch.
 
-    Per-tile VMEM ~= 4*T*(678 + 25*B) bytes (basis/template/weights blocks
-    + the B-proportional in/out/temp blocks), double-buffered by the grid
-    pipeline; cap at ~11 MB of the 16 MB budget. B=64 -> 512, B=256 -> 256,
-    B=1024 -> 64. Vp (a multiple of 512) is divisible by every candidate.
+    Forward per-tile VMEM ~= 4*T*(678 + 25*B) bytes (basis/template/weights
+    blocks + the B-proportional in/out/temp blocks); the backward keeps
+    ~4*T*(678 + 41*B) live (adds the g block, the recomputed v_posed/T AND
+    their cotangents g_vposed/g_T — the (B,16,T) pairs dominate). Both are
+    double-buffered by the grid pipeline; cap at ~11 MB of the 16 MB scoped
+    budget (the B=128 backward measured 18.9 MB at T=512 — over the limit —
+    and fits at T=256). Vp (a multiple of 512) divides every candidate.
     """
     Vp = prepared["basis_dirs"].shape[2]
     tile = _static_int(prepared, "vert_tile", default=VERT_TILE)
     if Vp % tile != 0:  # prepared with a custom tile that got traced away
         tile = VERT_TILE
     budget = 11 * 1024 * 1024
-    while tile > 128 and 4 * tile * (678 + 25 * batch) * 1.3 > budget:
+    per_b = 41 if backward else 25
+    while tile > 128 and 4 * tile * (678 + per_b * batch) * 1.3 > budget:
         tile //= 2
     assert Vp % tile == 0, (Vp, tile)
     return tile

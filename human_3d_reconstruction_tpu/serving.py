@@ -57,8 +57,29 @@ class MeshRecoverySession:
         crop_size: int = 224,
         smpl_path: str = "pallas",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        optimize: bool = True,
+        quantize: bool = False,
     ):
-        self.model = HMRModel(config=hmr_config or HMRConfig())
+        config = hmr_config or HMRConfig()
+        model_cls = HMRModel
+        if quantize and config.encoder.startswith("resnet") and "batch_stats" in variables:
+            # Int8 W8A8 encoder (includes the serving rewrite); ~percent-level
+            # output drift, measured in tests/test_quant.py.
+            from human_3d_reconstruction_tpu.models.quant import (
+                HMRModelInt8,
+                quantize_hmr_for_serving,
+            )
+
+            config, variables = quantize_hmr_for_serving(config, variables)
+            model_cls = HMRModelInt8
+        elif optimize and config.encoder.startswith("resnet") and "batch_stats" in variables:
+            # Serving graph rewrite: space-to-depth stem + BN folded into
+            # conv weights — exact reparameterizations (models/resnet.py),
+            # measurably faster on the MXU.
+            from human_3d_reconstruction_tpu.models.hmr import optimize_for_serving
+
+            config, variables = optimize_for_serving(config, variables)
+        self.model = model_cls(config=config)
         self.variables = variables
         self.crop_size = crop_size
         self.buckets = tuple(buckets)

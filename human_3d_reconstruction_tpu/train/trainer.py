@@ -168,8 +168,18 @@ def make_train_step(
     disc: SMPLDiscriminator,
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
+    smpl_apply=None,
 ):
-    """Build the fused G+D train step (jit it at the call site with shardings)."""
+    """Build the fused G+D train step (jit it at the call site with shardings).
+
+    smpl_apply(smpl_params, theta, beta) -> SMPLOutput; defaults to the XLA
+    twin. Pass a closure over CONCRETE `prepare_fused_smpl(...)` arrays (e.g.
+    `lambda _, t, b: smpl_forward_fused(prepared, t, b)`) to run the Pallas
+    forward AND Pallas backward inside the training loss — the north star's
+    "entire SMPL forward fused into Pallas" on the training path too
+    (cli/train.py does this when run.smpl_path == 'pallas').
+    """
+    smpl_apply = smpl_apply or smpl_forward
 
     def train_step(
         gen_state: GenState,
@@ -206,7 +216,7 @@ def make_train_step(
             last_theta = last_beta = None
             for t in range(T):  # static unroll over IEF iterations
                 theta_t, beta_t, cam_t = split_params(iters[t])
-                smpl_out = smpl_forward(smpl_params, theta_t, beta_t)
+                smpl_out = smpl_apply(smpl_params, theta_t, beta_t)
                 pred14_3d = smpl_out.eval_joints[:, :NUM_KP]
                 pred14_2d = orthographic_project(pred14_3d, cam_t)
 
@@ -274,12 +284,13 @@ def make_jitted_train_step(
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
     donate: bool = True,
+    smpl_apply=None,
 ):
     """jit the train step, donating the old gen/disc states — they are
     consumed every step, so donation halves the peak param+opt memory.
     Use donate=False when the caller keeps the input state alive (tests).
     """
-    step = make_train_step(config, model, disc, g_tx, d_tx)
+    step = make_train_step(config, model, disc, g_tx, d_tx, smpl_apply=smpl_apply)
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 

@@ -72,6 +72,27 @@ class TestCollateAndLoader:
         assert batch.images.shape[0] == 3
         assert batch.theta.shape == (3, 72)
 
+    def test_parallel_loader_matches_serial(self, smpl_model):
+        """num_workers must not change the stream: batch k depends only on
+        (seed, k), never on thread scheduling."""
+        import itertools
+
+        ds1 = SyntheticImageDataset(smpl_model, n=6, seed=0)
+        ds2 = SyntheticImageDataset(smpl_model, n=6, seed=9)
+
+        def take(num_workers, n=5):
+            loader = MixedLoader(
+                [ds1, ds2], batch_size=4, weights=[0.7, 0.3], seed=7,
+                num_workers=num_workers,
+            )
+            return list(itertools.islice(iter(loader), n))
+
+        serial, threaded = take(0), take(4)
+        for a, b in zip(serial, threaded):
+            np.testing.assert_array_equal(a.images, b.images)
+            np.testing.assert_array_equal(a.theta, b.theta)
+            np.testing.assert_array_equal(a.kp2d, b.kp2d)
+
 
 class TestMosh:
     def test_synthetic_pool(self):
@@ -80,6 +101,22 @@ class TestMosh:
         assert t.shape == (16, 72) and b.shape == (16, 10)
         # near-upright root: much smaller than body pose noise
         assert np.abs(t[:, :3]).std() < np.abs(t[:, 3:]).std() * 2
+
+    def test_synthetic_pool_is_correlated_manifold(self):
+        """Pool samples must be correlated (anchor mixing), not iid noise —
+        real mosh poses lie on a manifold; the discriminator's "real" class
+        should too."""
+        src = MoshParamSource.synthetic(np.random.default_rng(0), n=2048)
+        t = src.thetas - src.thetas.mean(axis=0)
+        # Effective rank of the pose pool: iid Gaussian 72-d data has ~72
+        # comparable singular values; anchor-mixed data concentrates.
+        s = np.linalg.svd(t, compute_uv=False)
+        energy = np.cumsum(s**2) / np.sum(s**2)
+        dims_for_90pct = int(np.searchsorted(energy, 0.9)) + 1
+        assert dims_for_90pct < 60, dims_for_90pct
+        # hinge joints (knees 4,5 / elbows 18,19) move more than root
+        amp = np.abs(src.thetas).reshape(-1, 24, 3).mean(axis=(0, 2))
+        assert amp[4] > 2 * amp[0] and amp[18] > 2 * amp[0]
 
     def test_npz_roundtrip(self, tmp_path):
         rng = np.random.default_rng(0)

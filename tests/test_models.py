@@ -49,6 +49,98 @@ class TestResNet:
         assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+@pytest.fixture(scope="module")
+def trained_like_vars(small_images):
+    """conv7 variables with non-trivial batch_stats (as after training)."""
+    from human_3d_reconstruction_tpu.models import ResNetConfig
+
+    model = ResNet50(config=ResNetConfig())
+    vars_ = model.init(jax.random.key(0), small_images)
+    # Run a few train steps so running mean/var move off the (0, 1) init —
+    # otherwise the BN fold test would pass trivially.
+    for _ in range(3):
+        _, updated = model.apply(
+            vars_, small_images * 3.0 + 1.0, train=True, mutable=["batch_stats"]
+        )
+        vars_ = {"params": vars_["params"], **updated}
+    return model, vars_
+
+
+class TestServingTransforms:
+    """Exact-reparameterization checks for the serving-path graph rewrites."""
+
+    def test_s2d_stem_matches_conv7(self, small_images, trained_like_vars):
+        from human_3d_reconstruction_tpu.models import ResNetConfig
+        from human_3d_reconstruction_tpu.models.resnet import convert_stem_to_s2d
+
+        model7, vars7 = trained_like_vars
+        ref = model7.apply(vars7, small_images)
+        s2d_model = ResNet50(config=ResNetConfig(stem="s2d"))
+        vars_s2d = convert_stem_to_s2d(vars7)
+        # structure must match a fresh s2d init
+        import chex
+
+        template = s2d_model.init(jax.random.key(1), small_images)
+        chex.assert_trees_all_equal_shapes(vars_s2d, template)
+        out = s2d_model.apply(vars_s2d, small_images)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_s2d_stem_gradients_flow(self, small_images):
+        """s2d is not serving-only: the stem trains (grads reach the kernel)."""
+        from human_3d_reconstruction_tpu.models import ResNetConfig
+
+        model = ResNet50(config=ResNetConfig(stem="s2d", stage_sizes=(1, 1, 1, 1)))
+        vars_ = model.init(jax.random.key(0), small_images)
+
+        def loss(p):
+            return jnp.sum(model.apply({**vars_, "params": p}, small_images) ** 2)
+
+        g = jax.grad(loss)(vars_["params"])
+        assert float(jnp.abs(g["conv_init"]["kernel"]).max()) > 0
+
+    def test_fold_bn_matches_eval(self, small_images, trained_like_vars):
+        from human_3d_reconstruction_tpu.models import ResNetConfig
+        from human_3d_reconstruction_tpu.models.resnet import fold_bn_variables
+
+        model7, vars7 = trained_like_vars
+        ref = model7.apply(vars7, small_images)
+        folded_model = ResNet50(config=ResNetConfig(fold_bn=True))
+        folded = fold_bn_variables(vars7)
+        assert "batch_stats" not in folded
+        out = folded_model.apply(folded, small_images)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+    def test_optimize_for_serving_full_hmr(self, small_images):
+        """The one-call HMR rewrite preserves the full param stream."""
+        from human_3d_reconstruction_tpu.models.hmr import optimize_for_serving
+
+        config = HMRConfig()
+        model = HMRModel(config=config)
+        vars_ = model.init(jax.random.key(0), small_images)
+        ref = model.apply(vars_, small_images)
+
+        new_cfg, new_vars = optimize_for_serving(config, vars_)
+        fast = HMRModel(config=new_cfg)
+        out = fast.apply(new_vars, small_images)
+        np.testing.assert_allclose(
+            np.asarray(out.all_params), np.asarray(ref.all_params), atol=5e-5, rtol=1e-4
+        )
+
+    def test_s2d_plus_fold_compose(self, small_images, trained_like_vars):
+        from human_3d_reconstruction_tpu.models import ResNetConfig
+        from human_3d_reconstruction_tpu.models.resnet import (
+            convert_stem_to_s2d,
+            fold_bn_variables,
+        )
+
+        model7, vars7 = trained_like_vars
+        ref = model7.apply(vars7, small_images)
+        model = ResNet50(config=ResNetConfig(stem="s2d", fold_bn=True))
+        vars_ = fold_bn_variables(convert_stem_to_s2d(vars7))
+        out = model.apply(vars_, small_images)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
 class TestIEFRegressor:
     def test_shapes_and_iteration_count(self):
         model = IEFRegressor(num_iterations=3)

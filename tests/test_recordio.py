@@ -70,7 +70,10 @@ class TestPackedDataset:
         assert len(packed) == 4
         for i in range(4):
             a, b = ds[i], packed[i]
-            np.testing.assert_array_equal(a.image, b.image)
+            # Pixels quantize to uint8 at pack time (4x smaller records);
+            # annotations roundtrip exactly.
+            assert b.image.dtype == np.float32
+            np.testing.assert_allclose(a.image, b.image, atol=0.5)
             np.testing.assert_array_equal(a.theta, b.theta)
             np.testing.assert_array_equal(a.kp2d, b.kp2d)
             assert float(a.has_smpl) == float(b.has_smpl)

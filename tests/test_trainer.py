@@ -93,6 +93,36 @@ class TestTrainStep:
             losses.append(supervised)
         assert losses[-1] < losses[0] * 0.9, losses
 
+    def test_pallas_smpl_in_loss_matches_xla(self, smpl_model, setup):
+        """The fused Pallas SMPL (Pallas fwd + Pallas bwd) inside the train
+        loss must produce the same step as the XLA twin: identical metrics
+        and updated params to f32 tolerance (interpret mode on CPU)."""
+        from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+        from human_3d_reconstruction_tpu.ops.fused_smpl import smpl_forward_fused
+
+        config, _, gen, disc, smpl_params, batch, mt, mb = setup
+        _, _, model, disc_mod, g_tx, d_tx = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        prepared = prepare_fused_smpl(smpl_model.as_dict())
+        step_xla = jax.jit(make_train_step(config, model, disc_mod, g_tx, d_tx))
+        step_pal = jax.jit(
+            make_train_step(
+                config, model, disc_mod, g_tx, d_tx,
+                smpl_apply=lambda _, t, b: smpl_forward_fused(prepared, t, b),
+            )
+        )
+        gx, dx, m_xla = step_xla(gen, disc, smpl_params, batch, mt, mb, jax.random.key(1))
+        gp, dp, m_pal = step_pal(gen, disc, smpl_params, batch, mt, mb, jax.random.key(1))
+        for k in m_xla:
+            np.testing.assert_allclose(
+                float(m_xla[k]), float(m_pal[k]), rtol=1e-4, atol=1e-5, err_msg=k
+            )
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), gx.params, gp.params
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-4, max(jax.tree.leaves(diffs))
+
     def test_no_adversarial_mode(self, smpl_model, setup):
         config = small_config(use_adversarial=False)
         gen, disc, model, disc_mod, g_tx, d_tx = create_states(

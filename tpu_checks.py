@@ -1,0 +1,138 @@
+"""TPU-compiled check lane: the claims pytest can't pin (it runs CPU-only,
+Pallas in interpret mode) verified COMPILED on the real chip, one process,
+one JSON line on stdout (SURVEY §4 item 2; VERDICT r1 item 5).
+
+Checks:
+  1. pallas_vs_xla_fwd   — fused SMPL forward == XLA twin (compiled kernels)
+  2. pallas_vs_xla_grad  — gradients through both paths match
+  3. oracle_parity_m     — fused verts vs the torch-f64 oracle (bar 1e-3 m)
+  4. serving_rewrite     — s2d + folded-BN HMR == canonical graph (bf16-safe bar)
+  5. batch1_latency_ms   — p50 single-image program latency sanity
+
+Run:  timeout 900 python tpu_checks.py      (keep the CLAUDE.md tunnel rules:
+one TPU process at a time, prefer timeout over hard kills)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel
+    from human_3d_reconstruction_tpu.models.hmr import optimize_for_serving
+    from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+    from human_3d_reconstruction_tpu.ops.fused_smpl import smpl_forward_fused
+    from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model
+    from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+    from tests.oracle_smpl_torch import SMPLOracle
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr, flush=True)
+    results: dict = {"device": str(dev), "ok": True}
+
+    smpl_model = synthetic_smpl_model(seed=0)
+    raw = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+    prepared = prepare_fused_smpl(smpl_model.as_dict())
+
+    rng = np.random.default_rng(0)
+    B = 32
+    pose = jnp.asarray(rng.normal(0, 0.4, (B, 72)).astype(np.float32))
+    betas = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+
+    # 1/2: Pallas vs XLA twin, compiled, values AND grads.
+    fused = jax.jit(lambda p, b: smpl_forward_fused(prepared, p, b).verts)
+    twin = jax.jit(lambda p, b: smpl_forward(raw, p, b).verts)
+    v_f = np.asarray(fused(pose, betas))
+    v_t = np.asarray(twin(pose, betas))
+    results["pallas_vs_xla_fwd_m"] = float(np.abs(v_f - v_t).max())
+
+    def loss_fused(p, b):
+        return jnp.sum(smpl_forward_fused(prepared, p, b).verts ** 2)
+
+    def loss_twin(p, b):
+        return jnp.sum(smpl_forward(raw, p, b).verts ** 2)
+
+    g_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(pose, betas)
+    g_t = jax.jit(jax.grad(loss_twin, argnums=(0, 1)))(pose, betas)
+    results["pallas_vs_xla_grad"] = float(
+        max(np.abs(np.asarray(a) - np.asarray(b)).max() for a, b in zip(g_f, g_t))
+    )
+
+    # 3: torch-f64 oracle parity (independent algorithm, quaternion route).
+    oracle = SMPLOracle(smpl_model).double()
+    with torch.no_grad():
+        ref = oracle(
+            torch.from_numpy(np.asarray(pose)).double(),
+            torch.from_numpy(np.asarray(betas)).double(),
+        )["verts"].numpy()
+    results["oracle_parity_m"] = float(np.abs(v_f - ref).max())
+
+    # 4: serving rewrite (s2d stem + folded BN) == canonical graph, on chip.
+    config = HMRConfig(encoder_dtype=jnp.bfloat16)
+    model = HMRModel(config=config)
+    imgs = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), imgs)
+    ref_params = np.asarray(jax.jit(lambda v, x: model.apply(v, x).all_params)(variables, imgs))
+    s_cfg, s_vars = optimize_for_serving(config, variables)
+    s_model = HMRModel(config=s_cfg)
+    new_params = np.asarray(jax.jit(lambda v, x: s_model.apply(v, x).all_params)(s_vars, imgs))
+    # bf16 encoder: rewrite reorders bf16 reductions; bar is bf16-resolution.
+    results["serving_rewrite_gap"] = float(np.abs(ref_params - new_params).max())
+
+    # 5: batch-1 latency sanity on the flagship program.
+    from human_3d_reconstruction_tpu.api import make_recover_from_frames
+
+    recover = make_recover_from_frames(s_model, smpl_path="pallas")
+    frame = jnp.asarray(rng.uniform(0, 255, (1, 256, 256, 3)).astype(np.float32))
+    c1 = jnp.asarray([[128.0, 128.0]])
+    s1 = jnp.asarray([200.0])
+
+    def sync(out):
+        return float(out.verts.sum())  # scalar readback: cannot lie here
+
+    sync(recover(s_vars, prepared, frame, c1, s1))
+    lats = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        sync(recover(s_vars, prepared, frame, c1, s1))
+        lats.append(time.perf_counter() - t0)
+    results["batch1_latency_ms"] = round(sorted(lats)[len(lats) // 2] * 1e3, 2)
+
+    # Bars.
+    bars = {
+        "pallas_vs_xla_fwd_m": 2e-5,
+        "pallas_vs_xla_grad": 5e-2,   # grad of sum-of-squares scales with B*V
+        "oracle_parity_m": 1e-3,      # BASELINE.json parity bar
+        "serving_rewrite_gap": 0.15,  # bf16 encoder reduction reorder; f32
+                                      # path is pinned at 5e-5 in pytest
+        "batch1_latency_ms": 500.0,   # tunnel round-trip dominated
+    }
+    for key, bar in bars.items():
+        if results[key] > bar:
+            results["ok"] = False
+            results[f"FAIL_{key}"] = f"{results[key]} > {bar}"
+
+    print(json.dumps(results))
+    sys.exit(0 if results["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
