@@ -34,6 +34,22 @@ def init_variables(config: RunConfig, model: HMRModel) -> Any:
     return model.init(jax.random.key(config.seed), dummy)
 
 
+def apply_serving_rewrite(model: HMRModel, variables: Any) -> tuple[HMRModel, Any]:
+    """Exact serving rewrite (s2d stem + folded BN) for inference CLIs.
+
+    No-op for non-resnet encoders or variables without batch_stats (e.g.
+    an already-folded tree). Outputs are bit-equal up to bf16 reduction
+    order (pinned in tests/test_models.py::TestServingTransforms).
+    """
+    cfg = model.config
+    if not cfg.encoder.startswith("resnet") or "batch_stats" not in variables:
+        return model, variables
+    from human_3d_reconstruction_tpu.models.hmr import optimize_for_serving
+
+    new_cfg, new_vars = optimize_for_serving(cfg, variables)
+    return HMRModel(config=new_cfg), new_vars
+
+
 def smpl_device_params(config: RunConfig, smpl_model) -> dict:
     if config.smpl_path == "pallas":
         from human_3d_reconstruction_tpu.ops import prepare_fused_smpl

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 
 def main(argv: list[str]) -> None:
-    from human_3d_reconstruction_tpu.api import make_recover_mesh
+    from human_3d_reconstruction_tpu.api import make_recover_from_single_frame
     from human_3d_reconstruction_tpu.cli.common import (
         build_model,
         build_smpl,
@@ -35,7 +35,6 @@ def main(argv: list[str]) -> None:
         smpl_device_params,
     )
     from human_3d_reconstruction_tpu.config import load_config
-    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
     from human_3d_reconstruction_tpu.viz import overlay_meshes
 
     # split our own flags from config overrides
@@ -91,24 +90,28 @@ def main(argv: list[str]) -> None:
         mgr = make_checkpoint_manager(own["checkpoint"])
         variables, step = restore_inference_variables(mgr, variables)
         echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
+    from human_3d_reconstruction_tpu.cli.common import apply_serving_rewrite
+
+    model, variables = apply_serving_rewrite(model, variables)
     smpl_params = smpl_device_params(config, smpl_model)
-    recover = make_recover_mesh(model, smpl_path=config.smpl_path)
+    recover = make_recover_from_single_frame(
+        model, smpl_path=config.smpl_path, crop_size=config.data.crop_size
+    )
 
     # --- batched recovery (one device program for all N persons) -------------
     # Bucketed padding: any crowd size reuses one of ~8 compiled programs
-    # instead of retracing per N (SURVEY.md section 7 "Hard parts").
+    # instead of retracing per N (SURVEY.md section 7 "Hard parts"). The
+    # frame crosses the jit boundary ONCE; the per-person broadcast happens
+    # inside the trace (one HBM copy, preprocess fused with the network).
     from human_3d_reconstruction_tpu.utils.bucketing import pad_people
 
     padded, mask = pad_people(
         {"centers": boxes[:, :2], "scales": boxes[:, 2]}, n_valid=N
     )
-    B = len(mask)
-    frames = jnp.broadcast_to(jnp.asarray(frame), (B, H, W, 3))
-    crops = preprocess_crops(
-        frames, jnp.asarray(padded["centers"]), jnp.asarray(padded["scales"]),
-        out_size=config.data.crop_size,
+    out = recover(
+        variables, smpl_params, jnp.asarray(frame, jnp.float32),
+        jnp.asarray(padded["centers"]), jnp.asarray(padded["scales"]),
     )
-    out = recover(variables, smpl_params, crops)
     out = jax.tree.map(lambda x: x[:N], out)  # drop padded persons
     verts = np.asarray(out.verts)
     echo(

@@ -60,6 +60,9 @@ def main(argv: list[str]) -> None:
         mgr = make_checkpoint_manager(own["checkpoint"])
         variables, step = restore_inference_variables(mgr, variables)
         echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
+    from human_3d_reconstruction_tpu.cli.common import apply_serving_rewrite
+
+    model, variables = apply_serving_rewrite(model, variables)
     smpl_params = smpl_device_params(config, smpl_model)
     recover = make_recover_mesh(model, smpl_path=config.smpl_path)
 

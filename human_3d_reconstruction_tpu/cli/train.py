@@ -76,11 +76,20 @@ def main(argv: list[str]) -> None:
         )
     )
 
-    mosh = (
-        MoshParamSource.from_npz(config.data.mosh_path)
-        if config.data.mosh_path
-        else MoshParamSource.synthetic(np.random.default_rng(config.seed))
-    )
+    if config.data.mosh_path:
+        mosh = MoshParamSource.from_npz(config.data.mosh_path)
+    elif all(isinstance(d, SyntheticImageDataset) for d in datasets):
+        # Synthetic smoke-training: the adversarial "real pose" pool must
+        # match the data's own pose distribution (mosh IS real poses of the
+        # training distribution) — the generic manifold prior would pull
+        # the generator away from the synthetic GT poses.
+        mosh = MoshParamSource(
+            np.concatenate([d.thetas for d in datasets]),
+            np.concatenate([d.betas for d in datasets]),
+        )
+        echo("mosh prior: synthetic dataset's own pose pool")
+    else:
+        mosh = MoshParamSource.synthetic(np.random.default_rng(config.seed))
     mosh_rng = np.random.default_rng(config.seed + 1)
 
     # states + step
@@ -138,8 +147,11 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.data.prefetch import device_prefetch
 
     def to_dict(batch):
+        # uint8 pixels: 4x less host->device traffic (trainer casts to f32
+        # on device); values are [0, 255] so quantization loses <1 LSB —
+        # the same convention as the packed record format.
         return {
-            "images": batch.images,
+            "images": np.clip(np.rint(batch.images), 0, 255).astype(np.uint8),
             "centers": batch.centers,
             "scales": batch.scales,
             "kp2d": batch.kp2d,

@@ -7,7 +7,12 @@ over (theta, beta) for adversarial training.
 
 from human_3d_reconstruction_tpu.models.resnet import ResNet50, ResNetConfig
 from human_3d_reconstruction_tpu.models.regressor import IEFRegressor, NUM_SMPL_PARAMS
-from human_3d_reconstruction_tpu.models.hmr import HMRModel, HMRConfig, HMROutput
+from human_3d_reconstruction_tpu.models.hmr import (
+    HMRModel,
+    HMRConfig,
+    HMROutput,
+    optimize_for_serving,
+)
 from human_3d_reconstruction_tpu.models.discriminator import SMPLDiscriminator
 
 __all__ = [
@@ -19,4 +24,5 @@ __all__ = [
     "HMRConfig",
     "HMROutput",
     "SMPLDiscriminator",
+    "optimize_for_serving",
 ]

@@ -101,7 +101,13 @@ def create_states(
 
 
 def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
-    """On-device crop + augmentation for images AND keypoints (aligned)."""
+    """On-device crop + augmentation for images AND keypoints (aligned).
+
+    Accepts uint8 OR float32 images: the host should ship uint8 (4x less
+    host->device traffic — the dominant cost on PCIe and overwhelmingly so
+    on this tunneled platform) and let the cast happen on device.
+    """
+    batch = {**batch, "images": batch["images"].astype(jnp.float32)}
     B = batch["images"].shape[0]
     r_rot, r_scale, r_flip = jax.random.split(rng, 3)
 

@@ -93,6 +93,19 @@ class TestTrainStep:
             losses.append(supervised)
         assert losses[-1] < losses[0] * 0.9, losses
 
+    def test_uint8_images_accepted(self, setup):
+        """The host ships uint8 pixels (4x less H2D); the step casts on
+        device and must match the f32 path on pre-quantized values."""
+        _, step_fn, gen, disc, smpl_params, batch, mt, mb = setup
+        quantized = jnp.clip(jnp.rint(batch["images"]), 0, 255)
+        b_f32 = {**batch, "images": quantized}
+        b_u8 = {**batch, "images": quantized.astype(jnp.uint8)}
+        g_f, _, m_f = step_fn(gen, disc, smpl_params, b_f32, mt, mb, jax.random.key(3))
+        g_u, _, m_u = step_fn(gen, disc, smpl_params, b_u8, mt, mb, jax.random.key(3))
+        np.testing.assert_allclose(
+            float(m_f["loss_g"]), float(m_u["loss_g"]), rtol=1e-5
+        )
+
     def test_pallas_smpl_in_loss_matches_xla(self, smpl_model, setup):
         """The fused Pallas SMPL (Pallas fwd + Pallas bwd) inside the train
         loss must produce the same step as the XLA twin: identical metrics
