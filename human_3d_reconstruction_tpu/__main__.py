@@ -6,6 +6,7 @@ USAGE = """human_3d_reconstruction_tpu — TPU-native 3D human mesh recovery
 
 entry points:
   python -m human_3d_reconstruction_tpu.cli.demo          image -> mesh overlay
+  python -m human_3d_reconstruction_tpu.cli.video         video -> tracked+smoothed meshes
   python -m human_3d_reconstruction_tpu.cli.train         adversarial training
   python -m human_3d_reconstruction_tpu.cli.eval          MPJPE / PCK protocols
   python -m human_3d_reconstruction_tpu.cli.smpl_forward  theta/beta -> mesh

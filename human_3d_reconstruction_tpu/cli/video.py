@@ -1,0 +1,272 @@
+"""Video mesh recovery: frames in -> tracked, smoothed meshes + overlays out.
+
+Extends the single-image demo (BASELINE config 5) to streams:
+
+    python -m human_3d_reconstruction_tpu.cli.video \
+        --frames=dir/ [--boxes=boxes.json] [--out=outdir] [--fps=30] [overrides]
+    python -m human_3d_reconstruction_tpu.cli.video --video=clip.mp4 ...
+
+Pipeline per frame (all device work in bucketed jitted programs that compile
+once for the whole clip):
+  1. recover meshes for the current person boxes (MeshRecoverySession — one
+     fused preprocess+network+SMPL program);
+  2. One-Euro-smooth each person's (theta, beta, cam) stream
+     (utils/smoothing.py) and re-decode the smoothed params on device;
+  3. render the smoothed meshes + skeletons into the frame;
+  4. propagate each box from the recovered 2D keypoints (utils/tracking.py)
+     so crops stay locked on target without a per-frame detector.
+
+--boxes gives frame-0 boxes (JSON (N, 3) [cx, cy, scale]); afterwards boxes
+track automatically (disable with --no_track). Without --boxes a full-frame
+box is used. Without --frames/--video a synthetic moving-noise clip is
+generated (no sample data ships in this environment).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def _iter_frames(own: dict):
+    """Yield (index, RGB float32 frame). Sources: dir of images, video, synthetic."""
+    if "frames" in own:
+        import cv2
+
+        paths = sorted(
+            p for p in Path(own["frames"]).iterdir() if p.suffix.lower() in IMAGE_EXTS
+        )
+        if not paths:
+            raise SystemExit(f"error: no image files in {own['frames']!r}")
+        for i, p in enumerate(paths):
+            raw = cv2.imread(str(p))
+            if raw is None:
+                raise SystemExit(f"error: cannot read frame {p}")
+            yield i, cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
+    elif "video" in own:
+        import cv2
+
+        cap = cv2.VideoCapture(own["video"])
+        if not cap.isOpened():
+            raise SystemExit(f"error: cannot open video {own['video']!r}")
+        i = 0
+        while True:
+            ok, raw = cap.read()
+            if not ok:
+                break
+            yield i, cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
+            i += 1
+        cap.release()
+    else:
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 255, (320, 320, 3)).astype(np.float32)
+        for i in range(int(own.get("synthetic_frames", 6))):
+            yield i, np.roll(base, shift=8 * i, axis=1)
+
+
+def main(argv: list[str]) -> None:
+    import jax
+
+    from human_3d_reconstruction_tpu.cli.common import (
+        build_model,
+        build_smpl,
+        echo,
+        init_variables,
+    )
+    from human_3d_reconstruction_tpu.config import load_config
+    from human_3d_reconstruction_tpu.serving import MeshRecoverySession
+    from human_3d_reconstruction_tpu.utils.smoothing import ParamSmoother
+    from human_3d_reconstruction_tpu.utils.tracking import propagate_box
+    from human_3d_reconstruction_tpu.viz import overlay_meshes
+    from human_3d_reconstruction_tpu.viz.draw import (
+        crop_coords_to_pixels,
+        draw_keypoints,
+    )
+
+    own, overrides = {}, []
+    for a in argv:
+        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
+        if key in ("frames", "video", "boxes", "out", "checkpoint", "fps",
+                   "synthetic_frames", "max_frames"):
+            own[key] = a.split("=", 1)[1] if "=" in a else "1"
+        elif key in ("no_track", "no_smooth"):
+            own[key] = "1"
+        else:
+            overrides.append(a)
+    config = load_config(overrides)
+    fps = float(own.get("fps", 30.0))
+    out_dir = Path(own.get("out", "video_out"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- model + session ------------------------------------------------------
+    smpl_model = build_smpl(config)
+    model = build_model(config)
+    variables = init_variables(config, model)
+    if "checkpoint" in own:
+        from human_3d_reconstruction_tpu.train.trainer import (
+            make_checkpoint_manager,
+            restore_inference_variables,
+        )
+
+        mgr = make_checkpoint_manager(own["checkpoint"])
+        variables, step = restore_inference_variables(mgr, variables)
+        echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
+
+    session = MeshRecoverySession(
+        variables,
+        smpl_model,
+        hmr_config=config.train.hmr,
+        crop_size=config.data.crop_size,
+        smpl_path=config.smpl_path,
+    )
+
+    # Smoothed params re-decode: ONE jitted program reused every frame
+    # (bucketed person count, same buckets as the session).
+    import jax.numpy as jnp
+
+    from human_3d_reconstruction_tpu.api import decode_params
+    from human_3d_reconstruction_tpu.utils.bucketing import pad_people
+
+    decode = jax.jit(partial(decode_params, smpl_path=config.smpl_path))
+
+    def decode_smoothed(thetas, betas, cams):
+        n = len(thetas)
+        padded, _ = pad_people(
+            {
+                "theta": np.asarray(thetas, np.float32),
+                "beta": np.asarray(betas, np.float32),
+                "cam": np.asarray(cams, np.float32),
+            },
+            n_valid=n,
+            buckets=session.buckets,
+        )
+        out = decode(
+            session.smpl_params,
+            jnp.asarray(padded["theta"]),
+            jnp.asarray(padded["beta"]),
+            jnp.asarray(padded["cam"]),
+        )
+        return jax.tree.map(lambda x: np.asarray(x[:n]), out)
+
+    smoother = ParamSmoother()
+    track = "no_track" not in own
+    smooth = "no_smooth" not in own
+    boxes: np.ndarray | None = None
+    if "boxes" in own:
+        try:
+            boxes = np.atleast_2d(
+                np.asarray(json.loads(Path(own["boxes"]).read_text()), np.float32)
+            )
+        except (OSError, json.JSONDecodeError, ValueError) as e:
+            raise SystemExit(f"error: --boxes unreadable ({own['boxes']!r}: {e})")
+        if boxes.ndim != 2 or boxes.shape[1] != 3:
+            raise SystemExit(f"error: --boxes shape {boxes.shape} != (N, 3)")
+
+    log_path = out_dir / "params.jsonl"
+    log = open(log_path, "w")
+    max_frames = int(own.get("max_frames", 10**9))
+    n_frames = 0
+    faces = np.asarray(smpl_model.faces)
+
+    for idx, frame in _iter_frames(own):
+        if idx >= max_frames:
+            break
+        H, W = frame.shape[:2]
+        if boxes is None:
+            boxes = np.asarray([[W / 2, H / 2, min(H, W) * 0.9]], np.float32)
+        results = session.recover(frame, boxes)
+        N = len(results)
+
+        # Temporal smoothing of the parameter stream (per person slot).
+        if smooth:
+            sm = [
+                smoother.smooth(i, r.theta, r.beta, r.cam, dt=1.0 / fps)
+                for i, r in enumerate(results)
+            ]
+            dec = decode_smoothed(
+                [s[0] for s in sm], [s[1] for s in sm], [s[2] for s in sm]
+            )
+            verts = [dec.verts[i] for i in range(N)]
+            cams = [dec.cam[i] for i in range(N)]
+            joints2d = [dec.joints2d[i] for i in range(N)]
+        else:
+            verts = [r.verts for r in results]
+            cams = [r.cam for r in results]
+            joints2d = [r.joints2d for r in results]
+
+        overlay = overlay_meshes(
+            frame,
+            verts,
+            faces,
+            cams=cams,
+            centers=[boxes[i, :2] for i in range(N)],
+            scales=[float(boxes[i, 2]) for i in range(N)],
+        )
+        kp_px_all = []
+        for i in range(N):
+            kp_px = crop_coords_to_pixels(
+                joints2d[i][:14], boxes[i, :2], float(boxes[i, 2])
+            )
+            kp_px_all.append(kp_px)
+            overlay = draw_keypoints(overlay, kp_px)
+
+        frame_path = out_dir / f"frame_{idx:05d}.png"
+        import cv2
+
+        cv2.imwrite(
+            str(frame_path),
+            cv2.cvtColor(overlay.clip(0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+        )
+        log.write(
+            json.dumps(
+                {
+                    "frame": idx,
+                    "boxes": boxes.tolist(),
+                    "theta": [np.asarray(r.theta).tolist() for r in results],
+                    "beta": [np.asarray(r.beta).tolist() for r in results],
+                    "cam": [np.asarray(r.cam).tolist() for r in results],
+                }
+            )
+            + "\n"
+        )
+        n_frames += 1
+
+        # Track: next frame's crops follow this frame's recovered keypoints
+        # (raw, not smoothed — tracking should react faster than the filter).
+        if track:
+            raw_kp = [
+                crop_coords_to_pixels(
+                    results[i].joints2d[:14], boxes[i, :2], float(boxes[i, 2])
+                )
+                for i in range(N)
+            ]
+            boxes = np.stack(
+                [propagate_box(boxes[i], raw_kp[i], (H, W)) for i in range(N)]
+            )
+        if idx % 10 == 0:
+            echo(f"frame {idx}: {N} person(s), box0 scale {boxes[0, 2]:.0f}")
+
+    log.close()
+    echo(f"wrote {n_frames} overlay frames + {log_path}")
+    print(
+        json.dumps(
+            {
+                "num_frames": n_frames,
+                "num_persons": int(len(boxes)) if boxes is not None else 0,
+                "out_dir": str(out_dir),
+                "params": str(log_path),
+                "smoothed": smooth,
+                "tracked": track,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

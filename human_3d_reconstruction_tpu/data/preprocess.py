@@ -168,6 +168,7 @@ def separable_crop(
     scale: jax.Array,
     flip: jax.Array | float = 0.0,
     out_size: int = CROP_SIZE,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Axis-aligned crop+resize(+mirror) as two 1-D interpolation MATMULS.
 
@@ -176,8 +177,16 @@ def separable_crop(
     hot inference preprocessing from 4-tap gathers (VPU-bound, ~135 ms for
     64x224x224 in bring-up) onto the MXU (~10 GFLOP, sub-ms). Exactly
     matches `affine_crop` with rot=0 (same map, same zero padding).
+
+    dtype=bfloat16 is the serving fast path: single-pass bf16 matmuls and
+    bf16 intermediates. The resulting pixel error (~1e-3 of the [-1, 1]
+    range) is below the bf16 encoder's own input rounding, so it is only
+    used when the consumer is a bf16 encoder; f32 keeps HIGH-precision
+    (3-pass bf16) accumulation and stays the exact/training path.
     """
-    image = jnp.asarray(image, jnp.float32)
+    fast = dtype == jnp.bfloat16
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGH
+    image = jnp.asarray(image, dtype)
     H, W = image.shape[0], image.shape[1]
     s = jnp.asarray(scale, jnp.float32) / out_size
     c = jnp.asarray(center, jnp.float32)
@@ -191,19 +200,13 @@ def separable_crop(
     src_x = c[0] + s * offs * fx  # (out,)
     src_y = c[1] + s * offs
 
-    Ry = _interp_matrix(src_y, H)  # (out, H)
-    Rx = _interp_matrix(src_x, W)  # (out, W)
-    # HIGH (bf16_3x passes) keeps ~f32 accuracy at a fraction of HIGHEST's
-    # cost; pixel interpolation doesn't need the full 6-pass f32 emulation.
-    tmp = jnp.einsum(
-        "oh,hwc->owc", Ry, image, precision=jax.lax.Precision.HIGH
-    )
-    return jnp.einsum(
-        "pw,owc->opc", Rx, tmp, precision=jax.lax.Precision.HIGH
-    )
+    Ry = _interp_matrix(src_y, H).astype(dtype)  # (out, H)
+    Rx = _interp_matrix(src_x, W).astype(dtype)  # (out, W)
+    tmp = jnp.einsum("oh,hwc->owc", Ry, image, precision=precision)
+    return jnp.einsum("pw,owc->opc", Rx, tmp, precision=precision)
 
 
-@partial(jax.jit, static_argnames=("out_size",))
+@partial(jax.jit, static_argnames=("out_size", "dtype"))
 def preprocess_crops(
     images: jax.Array,
     centers: jax.Array,
@@ -211,6 +214,7 @@ def preprocess_crops(
     rots: Optional[jax.Array] = None,
     flips: Optional[jax.Array] = None,
     out_size: int = CROP_SIZE,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Batched on-device preprocessing: N boxes -> N normalized crops.
 
@@ -219,9 +223,12 @@ def preprocess_crops(
                  multi-person single-frame path, broadcast the frame first;
                  XLA keeps it as one buffer).
         centers: (N, 2), scales: (N,), rots/flips: (N,) optional.
+        dtype:   crop compute/output dtype. bfloat16 is the serving fast
+                 path for bf16 encoders (see `separable_crop`); float32 is
+                 the exact path (training / parity eval).
 
     Returns:
-        (N, out_size, out_size, C) normalized crops in [-1, 1].
+        (N, out_size, out_size, C) normalized crops in [-1, 1], `dtype`.
 
     Fast path: without rotation (rots is None — a STATIC choice) the crop
     is separable and runs as MXU matmuls (`separable_crop`); the general
@@ -230,12 +237,12 @@ def preprocess_crops(
     N = images.shape[0]
     if rots is None:
         flips = jnp.zeros((N,), jnp.float32) if flips is None else flips
-        crops = jax.vmap(partial(separable_crop, out_size=out_size))(
+        crops = jax.vmap(partial(separable_crop, out_size=out_size, dtype=dtype))(
             images, centers, scales, flips
         )
-        return normalize_image(crops)
+        return (crops * jnp.asarray(PIXEL_SCALE, dtype) + jnp.asarray(PIXEL_BIAS, dtype)).astype(dtype)
     flips = jnp.zeros((N,), jnp.float32) if flips is None else flips
     crops = jax.vmap(partial(affine_crop, out_size=out_size))(
         images, centers, scales, rots, flips
     )
-    return normalize_image(crops)
+    return normalize_image(crops).astype(dtype)

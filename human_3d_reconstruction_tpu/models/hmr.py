@@ -32,6 +32,7 @@ class HMRConfig:
     encoder_dtype: Any = jnp.float32  # bf16 for max throughput
     encoder_stem: str = "conv7"  # 's2d': MXU-friendly space-to-depth stem
     encoder_fold_bn: bool = False  # serving: BN folded into conv weights
+    fused_stages: bool = False  # serving: Pallas-fused ResNet stages 1-2
     dropout_rate: float = 0.0
 
 
@@ -99,7 +100,7 @@ class HMRModel(nn.Module):
 
 
 def optimize_for_serving(
-    config: HMRConfig, variables
+    config: HMRConfig, variables, fused_stages: Optional[bool] = None
 ) -> tuple[HMRConfig, dict]:
     """One-call serving rewrite: s2d stem + folded BN, exact same outputs.
 
@@ -108,11 +109,23 @@ def optimize_for_serving(
     space-to-depth stem and normalization-free conv->relu chains. Only the
     weights change (exact reparameterizations, equivalence-tested); use the
     returned config to build the model.
+
+    `fused_stages` additionally routes ResNet stages 1-2 through the
+    Pallas whole-stage kernels at inference (ops/fused_resnet.py — same
+    math, bf16-reduction-order-level differences only). Default OFF:
+    measured round 2, XLA's own conv fusion wins this trade on v5e
+    (BASELINE.md "fused-stage kernel" entry); the kernel ships for
+    bottleneck encoders as an opt-in and for future hardware where the
+    HBM:MXU ratio shifts.
     """
     if not config.encoder.startswith("resnet"):
         raise ValueError(f"serving rewrite supports resnet encoders, got {config.encoder}")
+    if fused_stages is None:
+        fused_stages = False
+    if fused_stages and _RESNET_VARIANTS.get(config.encoder, (None, None))[1] != "bottleneck":
+        raise ValueError("fused_stages requires a bottleneck encoder (resnet50/101)")
     if config.encoder_fold_bn:
-        return config, variables  # already optimized
+        return dataclasses.replace(config, fused_stages=fused_stages), variables
 
     from human_3d_reconstruction_tpu.models.resnet import (
         convert_stem_to_s2d,
@@ -130,6 +143,6 @@ def optimize_for_serving(
         "params": {**variables["params"], "encoder": enc["params"]}
     }
     new_config = dataclasses.replace(
-        config, encoder_stem="s2d", encoder_fold_bn=True
+        config, encoder_stem="s2d", encoder_fold_bn=True, fused_stages=fused_stages
     )
     return new_config, new_variables

@@ -59,7 +59,13 @@ class MeshRecoverySession:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         optimize: bool = True,
         quantize: bool = False,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the person
+        batch is sharded across its devices (weights/SMPL constants
+        replicated, XLA splits the fused program; no collectives needed in
+        the forward pass). Buckets are restricted to multiples of the device
+        count so every chip gets equal work."""
         config = hmr_config or HMRConfig()
         model_cls = HMRModel
         if quantize and config.encoder.startswith("resnet") and "batch_stats" in variables:
@@ -90,6 +96,22 @@ class MeshRecoverySession:
             self.smpl_params = prepare_fused_smpl(smpl_model.as_dict())
         else:
             self.smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+
+        self.mesh = mesh
+        self._person_sharding = None
+        self._replicated = None
+        if mesh is not None:
+            from human_3d_reconstruction_tpu.parallel import DATA_AXIS, replicate
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n = mesh.devices.size
+            self.buckets = tuple(b for b in self.buckets if b % n == 0)
+            if not self.buckets:
+                self.buckets = (n,)
+            self.variables = replicate(self.variables, mesh)
+            self.smpl_params = replicate(self.smpl_params, mesh)
+            self._person_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            self._replicated = NamedSharding(mesh, PartitionSpec())
         # One fused device program: preprocess + network + SMPL decode. The
         # frame crosses the jit boundary ONCE (H, W, 3); the broadcast to the
         # person axis happens inside the trace so HBM holds a single copy.
@@ -104,13 +126,14 @@ class MeshRecoverySession:
         padded, _ = pad_people(
             {"centers": boxes[:, :2], "scales": boxes[:, 2]}, N, self.buckets
         )
-        out = self._recover(
-            self.variables,
-            self.smpl_params,
-            frame,
-            jnp.asarray(padded["centers"]),
-            jnp.asarray(padded["scales"]),
-        )
+        centers = jnp.asarray(padded["centers"])
+        scales = jnp.asarray(padded["scales"])
+        if self.mesh is not None:
+            # DP serving: person axis sharded, the single frame replicated.
+            frame = jax.device_put(frame, self._replicated)
+            centers = jax.device_put(centers, self._person_sharding)
+            scales = jax.device_put(scales, self._person_sharding)
+        out = self._recover(self.variables, self.smpl_params, frame, centers, scales)
         return jax.tree.map(lambda x: x[:N], out)
 
     def _run(self, frame: np.ndarray, boxes: np.ndarray) -> MeshRecoveryOutput:

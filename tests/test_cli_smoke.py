@@ -136,6 +136,31 @@ class TestCLISmoke:
         assert r.returncode == 0, r.stderr[-2000:]
         assert (tmp_path / "meshes" / "person0.obj").exists()
 
+    def test_video_cli_synthetic(self, tmp_path):
+        """Video pipeline: synthetic clip -> tracked, smoothed overlays."""
+        r = run_cli(
+            "video",
+            [
+                "single_image",
+                "--synthetic_frames=3",
+                f"--out={tmp_path}/vout",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert blob["num_frames"] == 3 and blob["smoothed"] and blob["tracked"]
+        assert (tmp_path / "vout" / "frame_00002.png").exists()
+        rows = [
+            json.loads(line)
+            for line in (tmp_path / "vout" / "params.jsonl").read_text().splitlines()
+        ]
+        assert len(rows) == 3
+        assert np.isfinite(np.asarray(rows[-1]["theta"])).all()
+        # tracking moved the box off the initial full-frame default
+        assert rows[0]["boxes"] != rows[-1]["boxes"]
+
     def test_package_main_usage(self, tmp_path):
         import subprocess, sys, os
 

@@ -1,0 +1,163 @@
+"""Pallas fused ResNet stages vs the flax/XLA twin (values, both dtypes).
+
+Every Pallas kernel in this framework has an XLA twin and an equivalence
+test (project convention); the fused bottleneck stage's twin is the flax
+ResNet50 itself (same folded-BN weights).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from human_3d_reconstruction_tpu.models.resnet import ResNet50, ResNetConfig
+from human_3d_reconstruction_tpu.ops.fused_resnet import (
+    fused_bottleneck_stage,
+    stage_blocks_from_params,
+)
+
+
+def _folded_encoder(rng, stage_sizes=(2, 2), size=32, dtype=jnp.float32):
+    """Random folded-BN s2d encoder (+ random biases so folding is tested)."""
+    cfg = ResNetConfig(
+        stage_sizes=stage_sizes, block="bottleneck", stem="s2d",
+        fold_bn=True, dtype=dtype,
+    )
+    enc = ResNet50(config=cfg)
+    x = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32))
+    variables = enc.init(jax.random.key(0), x[:1])
+    # init gives zero biases; randomize them (folded BN lives in biases).
+    leaves, tree = jax.tree.flatten(variables)
+    keys = jax.random.split(jax.random.key(1), len(leaves))
+    leaves = [
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ]
+    return cfg, enc, jax.tree.unflatten(tree, leaves), x
+
+
+class TestFusedStage:
+    def test_stage_matches_flax_stride1(self, rng):
+        """Stage-1 style (stride 1, proj on block 1): fused == XLA twin."""
+        from human_3d_reconstruction_tpu.models.fused_encoder import _bottleneck_xla
+
+        cfg, enc, variables, x = self._setup(rng)
+        p = variables["params"]
+        h = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+        ref = h
+        for j in (1, 2):
+            ref = _bottleneck_xla(ref, p[f"stage1_block{j}"], strides=1)
+        out = fused_bottleneck_stage(
+            h, stage_blocks_from_params(p, 1, 2), stride2_first=False
+        )
+        assert out.shape == (2, 8, 8, 256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_stage_matches_flax_stride2(self, rng):
+        """Stage-2 style (stride-2 first block): fused == XLA twin."""
+        from human_3d_reconstruction_tpu.models.fused_encoder import _bottleneck_xla
+
+        cfg, enc, variables, x = self._setup(rng)
+        p = variables["params"]
+        h = jnp.asarray(rng.normal(size=(2, 8, 8, 256)).astype(np.float32))
+        ref = h
+        for j in (1, 2):
+            ref = _bottleneck_xla(ref, p[f"stage2_block{j}"], strides=2 if j == 1 else 1)
+        out = fused_bottleneck_stage(
+            h, stage_blocks_from_params(p, 2, 2), stride2_first=True
+        )
+        assert out.shape == (2, 4, 4, 512)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def _setup(self, rng):
+        return _folded_encoder(rng)
+
+
+class TestFusedEncoderEndToEnd:
+    def test_features_match_flax(self, rng):
+        """Full encoder: stem + pool + Pallas 1-2 + XLA 3-4 + mean == flax."""
+        from human_3d_reconstruction_tpu.models.fused_encoder import (
+            encoder_features_fused,
+        )
+        from human_3d_reconstruction_tpu.models.hmr import HMRConfig
+
+        # encoder_features_fused reads stage sizes from the variant table,
+        # so test on a true resnet50-shaped encoder.
+        hmr_cfg = HMRConfig(encoder="resnet50", encoder_stem="s2d", encoder_fold_bn=True)
+        cfg50, enc50, vars50, x50 = _folded_encoder(
+            rng, stage_sizes=(3, 4, 6, 3), size=64
+        )
+        ref50 = enc50.apply(vars50, x50)
+        out50 = encoder_features_fused(hmr_cfg, vars50["params"], x50)
+        assert out50.shape == ref50.shape == (2, 2048)
+        # Random (unnormalized) weights blow activations up to ~1e5 through
+        # 16 blocks, amplifying f32 reduction-order noise; per-stage exact
+        # equivalence is pinned at 1e-4 by TestFusedStage.
+        np.testing.assert_allclose(
+            np.asarray(out50), np.asarray(ref50), atol=1e-3, rtol=5e-3
+        )
+
+    def test_hmr_forward_fused_matches_model(self, rng):
+        """Whole serving forward (encoder + IEF): fused == model.apply."""
+        from human_3d_reconstruction_tpu.models.fused_encoder import hmr_forward_fused
+        from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
+
+        config = HMRConfig(
+            encoder="resnet50", encoder_stem="s2d", encoder_fold_bn=True,
+            fused_stages=True,
+        )
+        model = HMRModel(config=config)
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        variables = model.init(jax.random.key(0), x[:1])
+        ref = model.apply(variables, x, train=False)
+        out = hmr_forward_fused(model, variables, x)
+        np.testing.assert_allclose(
+            np.asarray(out.theta), np.asarray(ref.theta), atol=1e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.all_params), np.asarray(ref.all_params), atol=1e-4, rtol=1e-4
+        )
+
+    def test_api_routes_fused_config(self, rng, smpl_model):
+        """recover_mesh with fused_stages=True == fused_stages=False."""
+        import dataclasses
+
+        from human_3d_reconstruction_tpu.api import make_recover_mesh
+        from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
+
+        base = HMRConfig(encoder="resnet50", encoder_stem="s2d", encoder_fold_bn=True)
+        model = HMRModel(config=base)
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        variables = model.init(jax.random.key(0), x[:1])
+        smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+        ref = make_recover_mesh(model)(variables, smpl_params, x)
+        fused_model = HMRModel(config=dataclasses.replace(base, fused_stages=True))
+        out = make_recover_mesh(fused_model)(variables, smpl_params, x)
+        np.testing.assert_allclose(
+            np.asarray(out.verts), np.asarray(ref.verts), atol=1e-4
+        )
+
+    def test_bf16_fused_close(self, rng):
+        """bf16 path: fused bf16 vs flax bf16 (reduction-order tolerance)."""
+        cfg, enc, variables, x = _folded_encoder(
+            rng, stage_sizes=(2, 2), size=32, dtype=jnp.bfloat16
+        )
+        from human_3d_reconstruction_tpu.models.fused_encoder import _bottleneck_xla
+
+        p = variables["params"]
+        h = jnp.asarray(
+            rng.normal(size=(2, 8, 8, 64)).astype(np.float32), jnp.bfloat16
+        )
+        ref = h
+        for j in (1, 2):
+            ref = _bottleneck_xla(ref, p[f"stage1_block{j}"], strides=1)
+        out = fused_bottleneck_stage(
+            h, stage_blocks_from_params(p, 1, 2), stride2_first=False
+        )
+        assert out.dtype == jnp.bfloat16
+        gap = np.abs(
+            np.asarray(out, np.float32) - np.asarray(ref, np.float32)
+        ).max()
+        scale = np.abs(np.asarray(ref, np.float32)).max() + 1e-6
+        assert gap / scale < 0.05, (gap, scale)

@@ -170,3 +170,21 @@ class TestSeparableFastPath:
                              rots=jnp.zeros((2,)), out_size=48)
         )
         np.testing.assert_allclose(fast, slow, atol=2e-5)
+
+    def test_bf16_serving_path_close_to_exact(self, rng):
+        """dtype=bfloat16 (serving fast path): bf16 out, error below the
+        bf16 encoder's own input rounding (~4e-3 of the [-1, 1] range)."""
+        imgs = np.stack([make_image(rng) for _ in range(2)])
+        centers = np.tile(np.array([[80.0, 60.0]], np.float32), (2, 1))
+        scales = np.array([90.0, 100.0], np.float32)
+        exact = np.asarray(
+            preprocess_crops(jnp.asarray(imgs), jnp.asarray(centers),
+                             jnp.asarray(scales), out_size=48)
+        )
+        fast = preprocess_crops(
+            jnp.asarray(imgs), jnp.asarray(centers), jnp.asarray(scales),
+            out_size=48, dtype=jnp.bfloat16,
+        )
+        assert fast.dtype == jnp.bfloat16
+        err = np.abs(np.asarray(fast, np.float32) - exact).max()
+        assert err < 2.5e-2, err  # interp sums of bf16-rounded pixels

@@ -75,3 +75,31 @@ class TestServing:
         img = session.overlay(frame, results)
         assert img.shape == frame.shape
         assert not np.allclose(img, frame)  # something was drawn
+
+
+class TestShardedServing:
+    def test_mesh_session_matches_single_device(self, smpl_model, frame):
+        """DP serving over the 8-device mesh == unsharded results."""
+        import jax.numpy as jnp
+
+        from human_3d_reconstruction_tpu.parallel import make_mesh
+
+        model = HMRModel(config=HMRConfig())
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        plain = MeshRecoverySession(
+            variables, smpl_model, crop_size=64, smpl_path="xla"
+        )
+        sharded = MeshRecoverySession(
+            variables, smpl_model, crop_size=64, smpl_path="xla",
+            mesh=make_mesh(),
+        )
+        # buckets snapped to multiples of the device count
+        assert all(b % 8 == 0 for b in sharded.buckets)
+
+        boxes = [[40.0, 30.0, 50.0], [80.0, 60.0, 70.0], [120.0, 90.0, 60.0]]
+        ref = plain.recover(frame, boxes)
+        out = sharded.recover(frame, boxes)
+        assert len(out) == 3
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(r.verts, o.verts, atol=2e-4)
+            np.testing.assert_allclose(r.theta, o.theta, atol=2e-4)
