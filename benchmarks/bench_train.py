@@ -43,6 +43,17 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--batches", type=str, default="16,64,128")
     ap.add_argument("--crop", type=int, default=224)
+    ap.add_argument(
+        "--configs",
+        type=str,
+        default="f32:xla,bf16:xla,bf16:pallas",
+        help="comma list of dtype:smpl points, e.g. 'bf16:pallas'",
+    )
+    ap.add_argument(
+        "--remat",
+        action="store_true",
+        help="rematerialize encoder blocks (gradient checkpointing)",
+    )
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -63,7 +74,8 @@ def main() -> None:
 
     def bench_point(B: int, encoder_dtype, smpl: str) -> dict:
         config = TrainConfig(
-            crop_size=args.crop, hmr=HMRConfig(encoder_dtype=encoder_dtype)
+            crop_size=args.crop,
+            hmr=HMRConfig(encoder_dtype=encoder_dtype, encoder_remat=args.remat),
         )
         gen, disc, model, disc_mod, g_tx, d_tx = create_states(
             config, jax.random.key(0), smpl_model.as_dict()
@@ -130,13 +142,16 @@ def main() -> None:
             "compile_s": round(compile_s, 1),
         }
 
+    points = []
+    for spec in args.configs.split(","):
+        dt_name, smpl = spec.strip().split(":")
+        points.append((jnp.bfloat16 if dt_name == "bf16" else jnp.float32, smpl))
+
     for B in batches:
-        for enc_dtype, smpl in (
-            (jnp.float32, "xla"),
-            (jnp.bfloat16, "xla"),
-            (jnp.bfloat16, "pallas"),
-        ):
+        for enc_dtype, smpl in points:
             row = bench_point(B, enc_dtype, smpl)
+            if args.remat:
+                row["remat"] = True
             print(json.dumps(row), flush=True)
 
 

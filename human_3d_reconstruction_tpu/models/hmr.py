@@ -33,6 +33,7 @@ class HMRConfig:
     encoder_stem: str = "conv7"  # 's2d': MXU-friendly space-to-depth stem
     encoder_fold_bn: bool = False  # serving: BN folded into conv weights
     fused_stages: bool = False  # serving: Pallas-fused ResNet stages 1-2
+    encoder_remat: bool = False  # training: rematerialize residual blocks
     dropout_rate: float = 0.0
 
 
@@ -82,6 +83,7 @@ class HMRModel(nn.Module):
                     stem=cfg.encoder_stem,
                     fold_bn=cfg.encoder_fold_bn,
                     dtype=cfg.encoder_dtype,
+                    remat=cfg.encoder_remat,
                 ),
                 name="encoder",
             )(images, train=train)

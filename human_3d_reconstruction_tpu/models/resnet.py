@@ -34,6 +34,7 @@ class ResNetConfig:
     stem: str = "conv7"  # "conv7" (canonical) | "s2d" (space-to-depth, below)
     fold_bn: bool = False  # serving: BN folded into conv weights (see below)
     dtype: Any = jnp.float32  # compute dtype (bf16 for max MXU throughput)
+    remat: bool = False  # rematerialize each residual block in the backward
 
     @property
     def feature_dim(self) -> int:
@@ -180,6 +181,13 @@ class ResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = BasicBlock if cfg.block == "basic" else BottleneckBlock
+        if cfg.remat:
+            # Gradient checkpointing: drop every block's internal activations
+            # in the forward and recompute them in the backward — trades
+            # ~1.3x encoder FLOPs for O(depth) activation memory, which is
+            # what bounds the training batch size (jax.checkpoint via the
+            # linen lifted transform; param tree unchanged).
+            block_cls = nn.remat(block_cls)
         for i, block_count in enumerate(cfg.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1

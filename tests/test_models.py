@@ -38,6 +38,35 @@ class TestResNet:
         assert feat.shape == (2, 2048)
         assert feat.dtype == jnp.float32
 
+    def test_remat_is_exact(self, small_images):
+        """remat=True is a pure scheduling change: same param tree, same
+        forward values, same gradients (activations are recomputed, not
+        approximated)."""
+        from human_3d_reconstruction_tpu.models import ResNetConfig
+
+        plain = ResNet50(config=ResNetConfig(stage_sizes=(1, 1), remat=False))
+        remat = ResNet50(config=ResNetConfig(stage_sizes=(1, 1), remat=True))
+        vars_ = plain.init(jax.random.key(0), small_images)
+        assert (
+            jax.tree.structure(vars_)
+            == jax.tree.structure(remat.init(jax.random.key(0), small_images))
+        )
+
+        def loss(model, params):
+            variables = {"params": params, "batch_stats": vars_["batch_stats"]}
+            feat, _ = model.apply(
+                variables, small_images, train=True, mutable=["batch_stats"]
+            )
+            return jnp.sum(feat**2)
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(vars_["params"])
+        v1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(vars_["params"])
+        assert np.allclose(v0, v1, rtol=1e-6)
+        gaps = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1
+        )
+        assert max(jax.tree.leaves(gaps)) < 1e-5
+
     def test_batchnorm_state_updates_in_train(self, small_images):
         model = ResNet50()
         vars_ = model.init(jax.random.key(0), small_images)

@@ -103,3 +103,42 @@ class TestShardedServing:
         for r, o in zip(ref, out):
             np.testing.assert_allclose(r.verts, o.verts, atol=2e-4)
             np.testing.assert_allclose(r.theta, o.theta, atol=2e-4)
+
+
+class TestExportedArtifact:
+    def test_export_reload_matches_live_session(self, session, frame, tmp_path):
+        """jax.export round trip: artifact outputs == live session outputs."""
+        from human_3d_reconstruction_tpu.serving_export import (
+            ExportedRecoverySession,
+            export_recovery_artifact,
+        )
+
+        art = export_recovery_artifact(
+            session, tmp_path / "art", frame_shape=frame.shape[:2], buckets=(4,)
+        )
+        srv = ExportedRecoverySession(art)
+        assert srv.crop_size == session.crop_size
+        assert srv.faces.shape == session.faces.shape
+
+        boxes = [[40.0, 30.0, 50.0], [80.0, 60.0, 70.0], [120.0, 90.0, 60.0]]
+        live = session.recover(frame, boxes)
+        loaded = srv.recover(frame, boxes)
+        assert len(loaded) == 3
+        for r, o in zip(live, loaded):
+            np.testing.assert_allclose(r.verts, o["verts"], atol=1e-5)
+            np.testing.assert_allclose(r.theta, o["theta"], atol=1e-5)
+            np.testing.assert_allclose(r.joints2d, o["joints2d"], atol=1e-5)
+
+    def test_frame_shape_guard(self, session, frame, tmp_path):
+        from human_3d_reconstruction_tpu.serving_export import (
+            ExportedRecoverySession,
+            export_recovery_artifact,
+        )
+
+        art = export_recovery_artifact(
+            session, tmp_path / "art2", frame_shape=frame.shape[:2], buckets=(4,)
+        )
+        srv = ExportedRecoverySession(art)
+        bad = np.zeros((64, 64, 3), np.float32)
+        with pytest.raises(ValueError, match="frame shape"):
+            srv.recover(bad, [[32.0, 32.0, 40.0]])
