@@ -1,0 +1,103 @@
+"""Eval-protocol wall time at scale on the real chip (VERDICT r1 item 8).
+
+Replays one synthetic H36M-style batch to the requested frame count (the
+host can't generate 10k images quickly on 1 core and host generation is
+not what's being measured), runs the FULL protocol machinery — padded tail
+batches, jitted predict + score, per-action aggregation — and reports
+frames/s and the number of compiled program shapes.
+
+  {"metric": "eval_frames_per_s", "frames": N, "batch": B, "value": ...,
+   "wall_s": ..., "programs": 2}
+
+Usage: python benchmarks/bench_eval.py [--frames 10048] [--batch 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=10048)
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    from human_3d_reconstruction_tpu.api import make_recover_from_frames
+    from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+    from human_3d_reconstruction_tpu.eval.protocol import (
+        run_protocol,
+        synthetic_eval_batches,
+    )
+    from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
+    from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+    from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model
+
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    smpl_model = synthetic_smpl_model(seed=0)
+    config = HMRConfig(encoder_dtype=jnp.bfloat16)
+    model = HMRModel(config=config)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    prepared = prepare_fused_smpl(smpl_model.as_dict())
+    recover = make_recover_from_frames(model, smpl_path="pallas")
+
+    def predict_joints(images, centers, scales):
+        return recover(
+            variables, prepared, images, centers, scales
+        ).eval_joints3d[:, :NUM_KP]
+
+    base = list(synthetic_eval_batches(smpl_model, num_batches=1, batch_size=args.batch))[0]
+    n_batches = max(args.frames // args.batch, 1)
+    # a ragged tail exercises the padded-tail path (same compiled shape,
+    # n_valid masks the padding — eval/protocol.py)
+    tail = None
+    if args.frames % args.batch:
+        import dataclasses
+
+        tail = dataclasses.replace(base, n_valid=args.frames % args.batch)
+
+    def stream(n):
+        for _ in range(n):
+            yield base
+        if tail is not None:
+            yield tail
+
+    # warm-up pass compiles predict + score once
+    run_protocol(predict_joints, stream(1))
+    t0 = time.perf_counter()
+    report = run_protocol(predict_joints, stream(n_batches))
+    wall = time.perf_counter() - t0
+    frames = report.num_frames
+    print(
+        json.dumps(
+            {
+                "metric": "eval_frames_per_s",
+                "frames": frames,
+                "batch": args.batch,
+                "value": round(frames / wall, 1),
+                "wall_s": round(wall, 2),
+                "mpjpe_mm": round(report.mpjpe_mm, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ entry points:
   python -m human_3d_reconstruction_tpu.cli.smpl_forward  theta/beta -> mesh
   python -m human_3d_reconstruction_tpu.cli.convert_annotations
   python -m human_3d_reconstruction_tpu.cli.pack_records
+  python -m human_3d_reconstruction_tpu.cli.export        checkpoint -> AOT serving artifact
   python bench.py                                         perf benchmark
 
 presets: smpl_only | single_image | batched_crops | h36m_eval | multi_person

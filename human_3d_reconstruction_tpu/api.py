@@ -163,3 +163,39 @@ def make_recover_from_single_frame(
         return recover_mesh_fn(model, variables, smpl_params, crops, smpl_path=smpl_path)
 
     return jax.jit(fn)
+
+
+def make_recover_from_clip(
+    model: HMRModel, smpl_path: str = "xla", crop_size: int = 224,
+    preprocess_dtype=None,
+):
+    """Clip entry: F frames x N boxes each -> mesh recovery, ONE program.
+
+    Amortizes the per-call dispatch (on tunneled/remote hosts ~27 ms — see
+    CLAUDE.md) over a whole clip: all F*N crops run the encoder/IEF/SMPL as
+    one batched program. Each frame broadcasts to its N boxes inside the
+    trace (per-frame single HBM buffer, as in the single-frame entry).
+
+    Returns jitted fn(variables, smpl_params, frames, centers, scales) ->
+    MeshRecoveryOutput with leading axes (F, N); frames (F, H, W, 3) in
+    [0, 255], centers (F, N, 2), scales (F, N).
+    """
+    import jax.numpy as jnp
+
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+
+    dtype = _preprocess_dtype_for(model, preprocess_dtype)
+
+    def fn(variables, smpl_params, frames, centers, scales):
+        F, N = scales.shape
+
+        def per_frame(frame, c, s):
+            fr = jnp.broadcast_to(frame[None], (N, *frame.shape))
+            return preprocess_crops(fr, c, s, out_size=crop_size, dtype=dtype)
+
+        crops = jax.vmap(per_frame)(frames, centers, scales)
+        crops = crops.reshape(F * N, *crops.shape[2:])
+        out = recover_mesh_fn(model, variables, smpl_params, crops, smpl_path=smpl_path)
+        return jax.tree.map(lambda x: x.reshape(F, N, *x.shape[1:]), out)
+
+    return jax.jit(fn)

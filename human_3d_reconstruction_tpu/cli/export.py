@@ -1,0 +1,75 @@
+"""Export an AOT serving artifact: checkpoint -> self-contained program dir.
+
+Usage:
+    python -m human_3d_reconstruction_tpu.cli.export single_image \
+        --out=artifact/ [--frame=720x1280] [--buckets=1,4,16] \
+        [--checkpoint=ckpt_dir] [overrides]
+
+The artifact directory holds one `jax.export`-serialized fused recovery
+program per person-count bucket (weights + SMPL constants baked in), plus
+mesh topology and metadata; `serving_export.ExportedRecoverySession` serves
+it with no flax model code or checkpoint restore. The reference deploys by
+shipping Python model code + a torch checkpoint (SURVEY.md section 3.2);
+this is the TPU-native packaging of the same step.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv: list[str]) -> None:
+    from human_3d_reconstruction_tpu.cli.common import (
+        build_model,
+        build_smpl,
+        echo,
+        init_variables,
+    )
+    from human_3d_reconstruction_tpu.config import load_config
+    from human_3d_reconstruction_tpu.serving import MeshRecoverySession
+    from human_3d_reconstruction_tpu.serving_export import export_recovery_artifact
+
+    own, overrides = {}, []
+    for a in argv:
+        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
+        if key in ("out", "frame", "buckets", "checkpoint"):
+            own[key] = a.split("=", 1)[1] if "=" in a else "1"
+        else:
+            overrides.append(a)
+    config = load_config(overrides)
+    if "out" not in own:
+        raise SystemExit("error: --out=<artifact_dir> is required")
+    h, w = (int(v) for v in own.get("frame", "480x640").split("x"))
+    buckets = (
+        tuple(int(b) for b in own["buckets"].split(",")) if "buckets" in own else None
+    )
+
+    smpl_model = build_smpl(config)
+    model = build_model(config)
+    variables = init_variables(config, model)
+    if "checkpoint" in own:
+        from human_3d_reconstruction_tpu.train.trainer import (
+            make_checkpoint_manager,
+            restore_inference_variables,
+        )
+
+        mgr = make_checkpoint_manager(own["checkpoint"])
+        variables, step = restore_inference_variables(mgr, variables)
+        echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
+
+    session = MeshRecoverySession(
+        variables,
+        smpl_model,
+        hmr_config=config.train.hmr,
+        crop_size=config.data.crop_size,
+        smpl_path=config.smpl_path,
+        buckets=buckets if buckets is not None else (1, 4, 16, 64),
+    )
+    art = export_recovery_artifact(
+        session, own["out"], frame_shape=(h, w), buckets=session.buckets
+    )
+    echo(f"exported {len(session.buckets)} bucket program(s) to {art}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -34,6 +34,11 @@ class DataConfig:
     synthetic_size: int = 256
     mosh_path: Optional[str] = None
     num_workers: int = 0  # host decode threads (0 = inline)
+    # Data echoing (Choi et al. 2020): train echo_factor steps per host
+    # batch — each echo gets a DIFFERENT on-device augmentation (the aug
+    # RNG folds in the step counter), so a slow 1-core host can still feed
+    # the chip. 1 = off.
+    echo_factor: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

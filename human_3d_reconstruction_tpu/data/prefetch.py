@@ -54,3 +54,24 @@ def device_prefetch(
                 raise errors[0]
             return
         yield item
+
+
+def echo_batches(batch_iter: Iterator[Any], factor: int) -> Iterator[Any]:
+    """Data echoing (Choi et al., 2020): yield each batch `factor` times.
+
+    The principled fix for a host-bound input pipeline on this stack: the
+    trainer's augmentation (crop/scale/rot/flip jitter) runs ON DEVICE and
+    folds the step counter into its RNG (train/trainer.py), so the E echoes
+    of one host batch train on E *different* augmented views — the sample
+    efficiency of echoing at the cost of sample diversity, multiplying
+    effective host throughput by E. Compose AFTER device_prefetch so each
+    host batch crosses host->device once and echoes reuse the device
+    buffers:
+
+        batches = echo_batches(device_prefetch(loader, place), factor)
+    """
+    if factor < 1:
+        raise ValueError(f"echo factor must be >= 1, got {factor}")
+    for batch in batch_iter:
+        for _ in range(factor):
+            yield batch

@@ -72,7 +72,10 @@ class HMRModel(nn.Module):
             )
 
             features = HourglassEncoder(
-                config=HourglassConfig(dtype=cfg.encoder_dtype), name="encoder"
+                config=HourglassConfig(
+                    dtype=cfg.encoder_dtype, remat=cfg.encoder_remat
+                ),
+                name="encoder",
             )(images, train=train)
         else:
             stages, block = _RESNET_VARIANTS[cfg.encoder]

@@ -27,6 +27,7 @@ class HourglassConfig:
     depth: int = 3          # down/up levels per hourglass
     features: int = 256
     dtype: Any = jnp.float32
+    remat: bool = False     # rematerialize each hourglass stack in the bwd
 
 
 class ConvBlock(nn.Module):
@@ -100,8 +101,9 @@ class HourglassEncoder(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = ConvBlock(cfg.features, conv, norm, name="pre_block")(x)
 
+        hg_cls = nn.remat(Hourglass) if cfg.remat else Hourglass
         for s in range(cfg.num_stacks):
-            y = Hourglass(cfg.depth, cfg.features, conv, norm, name=f"hg{s + 1}")(x)
+            y = hg_cls(cfg.depth, cfg.features, conv, norm, name=f"hg{s + 1}")(x)
             y = ConvBlock(cfg.features, conv, norm, name=f"post{s + 1}")(y)
             x = x + y  # intermediate supervision hook point
 

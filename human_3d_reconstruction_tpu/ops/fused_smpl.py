@@ -399,6 +399,16 @@ def _static_vert_tile(prepared: dict, batch: int, backward: bool = False) -> int
     per_b = 41 if backward else 25
     while tile > 128 and 4 * tile * (678 + per_b * batch) * 1.3 > budget:
         tile //= 2
+    # Empirical large-batch cap (the analytic model underestimates Mosaic's
+    # stack temporaries — the (B, 16, T) blend block spills at large B·T:
+    # B=512/T=128 measured 18.6 MB against the model's 9 MB). tile*B <=
+    # 64Ki fwd / 32Ki bwd matches every config measured good (B<=128
+    # fwd@512, B=256 fwd@256/bwd@128) and shrinks only B >= 512, down to a
+    # 64-lane tile (half-wide but compiles; B >= 1024 should use the XLA
+    # twin).
+    cap = 32768 if backward else 65536
+    while tile > 64 and tile * batch > cap:
+        tile //= 2
     assert Vp % tile == 0, (Vp, tile)
     return tile
 

@@ -29,10 +29,15 @@ import jax.numpy as jnp
 
 from human_3d_reconstruction_tpu.api import (
     MeshRecoveryOutput,
+    make_recover_from_clip,
     make_recover_from_single_frame,
 )
 from human_3d_reconstruction_tpu.models.hmr import HMRConfig, HMRModel
-from human_3d_reconstruction_tpu.utils.bucketing import DEFAULT_BUCKETS, pad_people
+from human_3d_reconstruction_tpu.utils.bucketing import (
+    DEFAULT_BUCKETS,
+    bucket_size,
+    pad_people,
+)
 
 
 @dataclass
@@ -118,6 +123,10 @@ class MeshRecoverySession:
         self._recover = make_recover_from_single_frame(
             self.model, smpl_path=smpl_path, crop_size=crop_size
         )
+        self._recover_clip = make_recover_from_clip(
+            self.model, smpl_path=smpl_path, crop_size=crop_size
+        )
+        self.clip_buckets = (1, 2, 4, 8, 16)
 
     # -- core ---------------------------------------------------------------
 
@@ -171,6 +180,80 @@ class MeshRecoverySession:
     ) -> list[list[PersonResult]]:
         """Video-style API: list of frames, per-frame boxes."""
         return [self.recover(f, b) for f, b in zip(frames, boxes_list)]
+
+    def recover_clip(
+        self, frames: Sequence[np.ndarray], boxes_list: Sequence
+    ) -> list[list[PersonResult]]:
+        """Batched clip recovery: ALL frames' crops in one device program.
+
+        For detector-fed streams (boxes known up front) this amortizes the
+        per-call dispatch over the clip — on remote/tunneled hosts the
+        dominant serving cost at small N. Frames must share one (H, W);
+        person counts may vary per frame (padded to the max's bucket,
+        frame count padded to a clip bucket). On a mesh session the clip
+        program runs with replicated inputs (XLA still shards the big
+        batched matmuls); use `recover` for explicit person-axis DP.
+        """
+        F = len(frames)
+        if F == 0:
+            return []
+        if len(boxes_list) != F:
+            raise ValueError(f"{F} frames but {len(boxes_list)} box lists")
+        frames = np.stack([np.asarray(f, np.float32) for f in frames])
+        boxes_np = [
+            np.atleast_2d(np.asarray(b, np.float32)).reshape(-1, 3)
+            for b in boxes_list
+        ]
+        counts = [len(b) for b in boxes_np]
+        H, W = frames.shape[1:3]
+        full = np.asarray([[W / 2, H / 2, max(H, W)]], np.float32)
+        # Per-frame pad to the shared person bucket (empty frames run one
+        # dummy full-frame box; its result is masked out by count=0).
+        n_max = max(max(counts), 1)
+        padded = [
+            pad_people(
+                {"boxes": b if len(b) else full}, max(len(b), 1),
+                (bucket_size(n_max, self.buckets),),
+            )[0]["boxes"]
+            for b in boxes_np
+        ]
+        boxes_arr = np.stack(padded)  # (F, Nb, 3)
+
+        results: list[list[PersonResult]] = []
+        cap = self.clip_buckets[-1]
+        for start in range(0, F, cap):
+            chunk = slice(start, min(start + cap, F))
+            f_chunk, b_chunk = frames[chunk], boxes_arr[chunk]
+            fb = bucket_size(len(f_chunk), self.clip_buckets)
+            if fb > len(f_chunk):  # pad frames by replicating the first
+                reps = fb - len(f_chunk)
+                f_chunk = np.concatenate([f_chunk, np.repeat(f_chunk[:1], reps, 0)])
+                b_chunk = np.concatenate([b_chunk, np.repeat(b_chunk[:1], reps, 0)])
+            out = self._recover_clip(
+                self.variables,
+                self.smpl_params,
+                jnp.asarray(f_chunk),
+                jnp.asarray(b_chunk[:, :, :2]),
+                jnp.asarray(b_chunk[:, :, 2]),
+            )
+            host = jax.device_get(out)
+            for fi in range(chunk.stop - chunk.start):
+                n = counts[start + fi]
+                results.append(
+                    [
+                        PersonResult(
+                            theta=host.theta[fi, i],
+                            beta=host.beta[fi, i],
+                            cam=host.cam[fi, i],
+                            verts=host.verts[fi, i],
+                            joints3d=host.joints3d[fi, i],
+                            joints2d=host.joints2d[fi, i],
+                            box=boxes_np[start + fi][i],
+                        )
+                        for i in range(n)
+                    ]
+                )
+        return results
 
     # -- extras ---------------------------------------------------------------
 

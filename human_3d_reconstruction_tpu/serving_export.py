@@ -159,12 +159,14 @@ class ExportedRecoverySession:
                 f"frame shape {frame.shape[:2]} != exported {self.frame_shape}; "
                 "export an artifact per camera geometry"
             )
-        boxes = np.atleast_2d(np.asarray(boxes, np.float32))
+        boxes = np.atleast_2d(np.asarray(boxes, np.float32)).reshape(-1, 3)
+        if len(boxes) == 0:
+            return []
         frame = jnp.asarray(frame, jnp.float32)
         cap = self.buckets[-1]
         chunks = [
             self._run_chunk(frame, boxes[i : i + cap])
-            for i in range(0, max(len(boxes), 1), cap)
+            for i in range(0, len(boxes), cap)
         ]
         out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
         host = jax.device_get(out)

@@ -161,6 +161,50 @@ class TestCLISmoke:
         # tracking moved the box off the initial full-frame default
         assert rows[0]["boxes"] != rows[-1]["boxes"]
 
+    def test_export_cli_roundtrip(self, tmp_path):
+        """Export CLI -> artifact dir -> ExportedRecoverySession serves it."""
+        r = run_cli(
+            "export",
+            [
+                "single_image",
+                f"--out={tmp_path}/art",
+                "--frame=96x128",
+                "--buckets=2",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        from human_3d_reconstruction_tpu.serving_export import (
+            ExportedRecoverySession,
+        )
+
+        srv = ExportedRecoverySession(tmp_path / "art")
+        frame = np.random.default_rng(0).uniform(0, 255, (96, 128, 3))
+        people = srv.recover(frame.astype(np.float32), [[64.0, 48.0, 70.0]])
+        assert len(people) == 1
+        assert people[0]["verts"].shape == (6890, 3)
+        assert np.isfinite(people[0]["verts"]).all()
+
+    def test_train_cli_with_echoing(self, tmp_path):
+        """Train CLI wiring for --data.echo_factor (4 steps, 2 host batches)."""
+        r = run_cli(
+            "train",
+            [
+                "single_image",
+                "--total_steps=4",
+                "--log_every=1",
+                "--data.echo_factor=2",
+                "--data.batch_size=2",
+                "--data.crop_size=48",
+                "--data.synthetic_size=8",
+                f"--checkpoint_dir={tmp_path}/ckpt",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "data echoing x2" in r.stderr or "data echoing x2" in r.stdout
+
     def test_package_main_usage(self, tmp_path):
         import subprocess, sys, os
 

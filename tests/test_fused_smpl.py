@@ -114,3 +114,28 @@ class TestBF16Basis:
         # joints come from the f32 folded regressor: still tight
         jerr = float(jnp.abs(fused16.joints - ref.joints).max())
         assert jerr < 1e-5, jerr
+
+
+class TestVertTileSelection:
+    def test_tile_table_matches_measured_good_configs(self, smpl_model):
+        """Pin the VMEM tile heuristic to the hardware-measured envelope:
+        every (batch, tile) pair below compiled and ran on the v5e; B=512
+        with the pre-cap tiles (fwd 128 / bwd 128) OOM'd scoped VMEM
+        (18.6 MB > 16 MB), hence the tile*batch cap."""
+        from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+        from human_3d_reconstruction_tpu.ops.fused_smpl import _static_vert_tile
+
+        prep = prepare_fused_smpl(smpl_model.as_dict())
+        expected = {
+            16: (512, 512),
+            64: (512, 512),
+            128: (512, 256),
+            256: (256, 128),
+            512: (128, 64),
+            1024: (64, 64),
+        }
+        Vp = prep["basis_dirs"].shape[2]
+        for B, (fwd, bwd) in expected.items():
+            assert _static_vert_tile(prep, B) == fwd, B
+            assert _static_vert_tile(prep, B, backward=True) == bwd, B
+            assert Vp % fwd == 0 and Vp % bwd == 0

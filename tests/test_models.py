@@ -275,6 +275,34 @@ class TestEncoderVariants:
         assert feat.shape == (2, 2048)
         assert np.all(np.isfinite(np.asarray(feat)))
 
+    def test_hourglass_remat_is_exact(self, rng):
+        from human_3d_reconstruction_tpu.models.hourglass import (
+            HourglassConfig,
+            HourglassEncoder,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        kw = dict(num_stacks=1, depth=2, features=64)
+        plain = HourglassEncoder(config=HourglassConfig(**kw))
+        remat = HourglassEncoder(config=HourglassConfig(**kw, remat=True))
+        v = plain.init(jax.random.key(0), x)
+        assert jax.tree.structure(v) == jax.tree.structure(
+            remat.init(jax.random.key(0), x)
+        )
+
+        def loss(m, p):
+            f, _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(f**2)
+
+        v0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(v["params"])
+        v1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(v["params"])
+        assert np.allclose(v0, v1, rtol=1e-6)
+        gaps = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+        assert max(jax.tree.leaves(gaps)) < 1e-4
+
     def test_hmr_with_hourglass(self, rng):
         model = HMRModel(config=HMRConfig(encoder="hourglass"))
         images = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))

@@ -56,3 +56,27 @@ class TestPrefetch:
         out = list(device_prefetch(iter([{"x": np.ones(3)}]), place=place))
         assert len(seen) == 1
         np.testing.assert_allclose(np.asarray(out[0]), 2.0)
+
+
+class TestEchoBatches:
+    def test_factor_and_order(self):
+        from human_3d_reconstruction_tpu.data.prefetch import echo_batches
+
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(3)]
+        out = list(echo_batches(iter(batches), 3))
+        assert [float(b["x"][0]) for b in out] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+        # echoes are the SAME object: no copies, no extra H2D when composed
+        # after device_prefetch
+        assert out[0] is out[1] is out[2]
+
+    def test_factor_one_passthrough(self):
+        from human_3d_reconstruction_tpu.data.prefetch import echo_batches
+
+        batches = [{"x": np.zeros(1)} for _ in range(4)]
+        assert len(list(echo_batches(iter(batches), 1))) == 4
+
+    def test_invalid_factor(self):
+        from human_3d_reconstruction_tpu.data.prefetch import echo_batches
+
+        with pytest.raises(ValueError, match="echo factor"):
+            next(echo_batches(iter([]), 0))

@@ -70,6 +70,35 @@ class TestServing:
         )
         assert len(out) == 2 and len(out[0]) == 1
 
+    def test_recover_clip_matches_per_frame(self, session, frame, rng):
+        """Clip-batched program == per-frame recovery, incl. ragged counts."""
+        frame2 = rng.uniform(0, 255, frame.shape).astype(np.float32)
+        frame3 = rng.uniform(0, 255, frame.shape).astype(np.float32)
+        frames = [frame, frame2, frame3]
+        boxes = [
+            [[80.0, 60.0, 90.0]],
+            [[40.0, 30.0, 50.0], [120.0, 90.0, 60.0]],
+            [],  # empty frame: no detections
+        ]
+        per_frame = [
+            session.recover(f, b) if len(b) else [] for f, b in zip(frames, boxes)
+        ]
+        clip = session.recover_clip(frames, boxes)
+        assert [len(r) for r in clip] == [1, 2, 0]
+        for ref_people, clip_people in zip(per_frame, clip):
+            for r, c in zip(ref_people, clip_people):
+                np.testing.assert_allclose(r.verts, c.verts, atol=2e-5)
+                np.testing.assert_allclose(r.theta, c.theta, atol=2e-5)
+                np.testing.assert_allclose(r.joints2d, c.joints2d, atol=2e-5)
+
+    def test_recover_clip_chunks_long_clips(self, session, frame):
+        """More frames than the largest clip bucket -> chunked, all served."""
+        frames = [frame] * (session.clip_buckets[-1] + 3)
+        boxes = [[[80.0, 60.0, 90.0]]] * len(frames)
+        out = session.recover_clip(frames, boxes)
+        assert len(out) == len(frames)
+        np.testing.assert_allclose(out[0][0].verts, out[-1][0].verts, atol=1e-6)
+
     def test_overlay(self, session, frame):
         results = session.recover(frame, [[80.0, 60.0, 90.0]])
         img = session.overlay(frame, results)

@@ -260,3 +260,23 @@ class TestInferenceRestore:
         template = {"params": gen.params, "batch_stats": gen.batch_stats}
         variables, step = restore_inference_variables(mgr, template)
         assert step == 0 and variables is template
+
+
+class TestDataEchoing:
+    def test_echoed_steps_draw_fresh_augmentations(self, setup):
+        """Echoing's soundness rests on per-step on-device augmentation:
+        the trainer folds gen_state.step into the aug RNG, so the E echo
+        steps of one host batch train on E different augmented views."""
+        from human_3d_reconstruction_tpu.train.trainer import _device_preprocess
+
+        config = small_config(aug_flip=True, aug_scale_jitter=0.2)
+        _, _, _, _, _, batch, _, _ = setup
+        key = jax.random.key(7)
+        # exactly the trainer's fold: rng_aug = split(fold_in(rng, step))[0]
+        crops0, *_ = _device_preprocess(
+            config, batch, jax.random.split(jax.random.fold_in(key, 0))[0]
+        )
+        crops1, *_ = _device_preprocess(
+            config, batch, jax.random.split(jax.random.fold_in(key, 1))[0]
+        )
+        assert not np.allclose(np.asarray(crops0), np.asarray(crops1))

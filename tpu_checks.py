@@ -8,6 +8,8 @@ Checks:
   3. oracle_parity_m     — fused verts vs the torch-f64 oracle (bar 1e-3 m)
   4. serving_rewrite     — s2d + folded-BN HMR == canonical graph (bf16-safe bar)
   5. batch1_latency_ms   — p50 single-image program latency sanity
+  6. export_roundtrip    — jax.export artifact (Pallas custom call baked in)
+                           replays on-chip == live session
 
 Run:  timeout 900 python tpu_checks.py      (keep the CLAUDE.md tunnel rules:
 one TPU process at a time, prefer timeout over hard kills)
@@ -116,6 +118,31 @@ def main() -> None:
         lats.append(time.perf_counter() - t0)
     results["batch1_latency_ms"] = round(sorted(lats)[len(lats) // 2] * 1e3, 2)
 
+    # 6: exported artifact replays on-chip (tpu_custom_call serialization).
+    import tempfile
+
+    from human_3d_reconstruction_tpu.serving import MeshRecoverySession
+    from human_3d_reconstruction_tpu.serving_export import (
+        ExportedRecoverySession,
+        export_recovery_artifact,
+    )
+
+    session = MeshRecoverySession(
+        variables, smpl_model, hmr_config=config, smpl_path="pallas"
+    )
+    frame_np = rng.uniform(0, 255, (240, 320, 3)).astype(np.float32)
+    boxes = np.asarray([[160.0, 120.0, 180.0]], np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        art = export_recovery_artifact(
+            session, td, frame_shape=(240, 320), buckets=(4,)
+        )
+        exported = ExportedRecoverySession(art)
+        live = session.recover(frame_np, boxes)[0]
+        loaded = exported.recover(frame_np, boxes)[0]
+    results["export_roundtrip_m"] = float(
+        np.abs(live.verts - loaded["verts"]).max()
+    )
+
     # Bars.
     bars = {
         "pallas_vs_xla_fwd_m": 2e-5,
@@ -124,6 +151,7 @@ def main() -> None:
         "serving_rewrite_gap": 0.15,  # bf16 encoder reduction reorder; f32
                                       # path is pinned at 5e-5 in pytest
         "batch1_latency_ms": 500.0,   # tunnel round-trip dominated
+        "export_roundtrip_m": 1e-5,   # same program replayed, same chip
     }
     for key, bar in bars.items():
         if results[key] > bar:
