@@ -342,6 +342,16 @@ def _fused_core(
 
     coeffs = jnp.concatenate([betas, pose_feature], axis=1)  # (B, 217)
 
+    # Kernel batch chunking: above _MAX_KERNEL_BATCH bodies per call the
+    # forward kernel's (B, 16, T) stack temporaries exceed the 16 MB scoped
+    # VMEM even at the minimum legal 128-lane tile (B=512 measured 18.6 MB
+    # on the v5e), so larger batches run as a lax.map over <=256-body
+    # chunks — each chunk uses the proven tile table, and autodiff maps
+    # chunk-wise through the custom-vjp op.
+    Bk = B
+    while Bk > _MAX_KERNEL_BATCH and Bk % 2 == 0:
+        Bk //= 2
+
     if not isinstance(prepared["basis_dirs"], jax.core.Tracer):
         # Concrete params: fully-differentiable op (Pallas fwd + Pallas bwd);
         # the surrounding rodrigues/chain stages autodiff in XLA.
@@ -349,21 +359,31 @@ def _fused_core(
             prepared["basis_template"],
             prepared["basis_dirs"],
             prepared["weightsT"],
-            _static_vert_tile(prepared, B),
-            _static_vert_tile(prepared, B, backward=True),
+            _static_vert_tile(prepared, Bk),
+            _static_vert_tile(prepared, Bk, backward=True),
             interpret,
         )
-        verts_cm = op(coeffs, At)
+        kernel = op
     else:
-        verts_cm = _lbs_pallas_call(
-            coeffs,
-            prepared["basis_template"],
-            prepared["basis_dirs"],
-            prepared["weightsT"],
-            At,
-            _static_vert_tile(prepared, B),
-            interpret,
-        )  # (B, 3, Vp)
+        def kernel(c, a):
+            return _lbs_pallas_call(
+                c,
+                prepared["basis_template"],
+                prepared["basis_dirs"],
+                prepared["weightsT"],
+                a,
+                _static_vert_tile(prepared, Bk),
+                interpret,
+            )  # (Bk, 3, Vp)
+
+    if Bk == B:
+        verts_cm = kernel(coeffs, At)
+    else:
+        n = B // Bk
+        verts_cm = jax.lax.map(
+            lambda args: kernel(*args),
+            (coeffs.reshape(n, Bk, -1), At.reshape(n, Bk * 16, 24)),
+        ).reshape(B, 3, -1)
     return verts_cm, rotations, transforms, rest_joints
 
 
@@ -403,14 +423,20 @@ def _static_vert_tile(prepared: dict, batch: int, backward: bool = False) -> int
     # stack temporaries — the (B, 16, T) blend block spills at large B·T:
     # B=512/T=128 measured 18.6 MB against the model's 9 MB). tile*B <=
     # 64Ki fwd / 32Ki bwd matches every config measured good (B<=128
-    # fwd@512, B=256 fwd@256/bwd@128) and shrinks only B >= 512, down to a
-    # 64-lane tile (half-wide but compiles; B >= 1024 should use the XLA
-    # twin).
+    # fwd@512, B=256 fwd@256/bwd@128). 128 is the minimum legal lane tile;
+    # batches that would need less are chunked to _MAX_KERNEL_BATCH bodies
+    # per kernel call in _fused_core.
     cap = 32768 if backward else 65536
-    while tile > 64 and tile * batch > cap:
+    while tile > 128 and tile * batch > cap:
         tile //= 2
     assert Vp % tile == 0, (Vp, tile)
     return tile
+
+
+# Above this many bodies per pallas_call the forward kernel cannot fit
+# scoped VMEM at any legal tile (measured on v5e at B=512); _fused_core
+# chunks the batch instead.
+_MAX_KERNEL_BATCH = 256
 
 
 def smpl_forward_fused(

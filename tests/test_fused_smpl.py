@@ -131,11 +131,34 @@ class TestVertTileSelection:
             64: (512, 512),
             128: (512, 256),
             256: (256, 128),
-            512: (128, 64),
-            1024: (64, 64),
         }
         Vp = prep["basis_dirs"].shape[2]
         for B, (fwd, bwd) in expected.items():
             assert _static_vert_tile(prep, B) == fwd, B
             assert _static_vert_tile(prep, B, backward=True) == bwd, B
             assert Vp % fwd == 0 and Vp % bwd == 0
+
+    def test_large_batch_chunks_to_kernel_max(self, smpl_model):
+        """B > _MAX_KERNEL_BATCH runs as chunked kernel calls (lax.map):
+        values AND grads must match the XLA twin at B=512."""
+        import jax
+        import jax.numpy as jnp
+
+        from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+        from human_3d_reconstruction_tpu.ops.fused_smpl import smpl_forward_fused
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+
+        prep = prepare_fused_smpl(smpl_model.as_dict())
+        raw = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+        B = 512
+        rng = np.random.default_rng(3)
+        pose = jnp.asarray(rng.normal(0, 0.3, (B, 72)).astype(np.float32))
+        betas = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+
+        v_f = smpl_forward_fused(prep, pose, betas).verts
+        v_x = smpl_forward(raw, pose, betas).verts
+        np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_x), atol=2e-5)
+
+        g_f = jax.grad(lambda p: jnp.sum(smpl_forward_fused(prep, p, betas).verts ** 2))(pose)
+        g_x = jax.grad(lambda p: jnp.sum(smpl_forward(raw, p, betas).verts ** 2))(pose)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x), rtol=2e-3, atol=2e-2)
