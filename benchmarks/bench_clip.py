@@ -56,8 +56,9 @@ def main() -> None:
     session = MeshRecoverySession(variables, smpl_model, hmr_config=config)
 
     rng = np.random.default_rng(0)
+    # uint8 frames: what a decoder hands you, and 4x less H2D than f32
     frames = [
-        rng.uniform(0, 255, (H, W, 3)).astype(np.float32) for _ in range(args.F)
+        rng.integers(0, 255, (H, W, 3), dtype=np.uint8) for _ in range(args.F)
     ]
     boxes = [
         rng.uniform(100, 300, (args.N, 3)).astype(np.float32) for _ in range(args.F)
@@ -74,6 +75,10 @@ def main() -> None:
     for mode, fn in (
         ("per_frame", lambda: session.recover_batch(frames, boxes)),
         ("clip", lambda: session.recover_clip(frames, boxes)),
+        # params-only: skip the (N, 6890, 3) vertex D2H — isolates how much
+        # of serving latency is readback transfer on this host
+        ("clip_params_only", lambda: session.recover_clip(
+            frames, boxes, fields=("theta", "beta", "cam", "joints3d"))),
     ):
         dt = run(fn)
         print(

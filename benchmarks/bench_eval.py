@@ -25,6 +25,7 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +64,14 @@ def main() -> None:
         ).eval_joints3d[:, :NUM_KP]
 
     base = list(synthetic_eval_batches(smpl_model, num_batches=1, batch_size=args.batch))[0]
-    n_batches = max(args.frames // args.batch, 1)
+    # ship uint8 images (what a decoder produces; 4x less H2D — the
+    # tunnel-bound cost here; the cast to f32 happens on device)
+    import dataclasses as _dc
+
+    base = _dc.replace(
+        base, images=np.clip(np.rint(base.images), 0, 255).astype(np.uint8)
+    )
+    n_batches = args.frames // args.batch
     # a ragged tail exercises the padded-tail path (same compiled shape,
     # n_valid masks the padding — eval/protocol.py)
     tail = None

@@ -104,3 +104,26 @@ class JSONLLogger:
 
 def echo(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def split_own_args(
+    argv: list[str], keys: tuple[str, ...], flags: tuple[str, ...] = ()
+) -> tuple[dict[str, str], list[str]]:
+    """Split a CLI's own --key=value args from config overrides.
+
+    `keys` take a value (`--key=value`; a bare `--key` yields "1" instead
+    of crashing); `flags` are boolean (`--flag` -> "1"). Everything else
+    passes through to `config.load_config`. One definition for every CLI
+    so edge-case behavior can't drift between them.
+    """
+    own: dict[str, str] = {}
+    overrides: list[str] = []
+    for a in argv:
+        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
+        if key in keys:
+            own[key] = a.split("=", 1)[1] if "=" in a else "1"
+        elif key in flags:
+            own[key] = "1"
+        else:
+            overrides.append(a)
+    return own, overrides

@@ -38,13 +38,11 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.viz import overlay_meshes
 
     # split our own flags from config overrides
-    own, overrides = {}, []
-    for a in argv:
-        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
-        if key in ("image", "boxes", "out", "checkpoint", "save_meshes"):
-            own[key] = a.split("=", 1)[1]
-        else:
-            overrides.append(a)
+    from human_3d_reconstruction_tpu.cli.common import split_own_args
+
+    own, overrides = split_own_args(
+        argv, ("image", "boxes", "out", "checkpoint", "save_meshes")
+    )
     config = load_config(overrides)
 
     # --- input frame + boxes -------------------------------------------------
@@ -54,7 +52,7 @@ def main(argv: list[str]) -> None:
         raw = cv2.imread(own["image"])
         if raw is None:
             raise SystemExit(f"error: cannot read image {own['image']!r}")
-        frame = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
+        frame = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)  # uint8: 4x less H2D
     else:
         echo("no --image given; using a synthetic frame")
         frame = np.random.default_rng(0).uniform(0, 255, (480, 640, 3)).astype(np.float32)
@@ -109,7 +107,8 @@ def main(argv: list[str]) -> None:
         {"centers": boxes[:, :2], "scales": boxes[:, 2]}, n_valid=N
     )
     out = recover(
-        variables, smpl_params, jnp.asarray(frame, jnp.float32),
+        # uint8 frames ship as uint8 (cast happens on device in preprocess)
+        variables, smpl_params, jnp.asarray(frame),
         jnp.asarray(padded["centers"]), jnp.asarray(padded["scales"]),
     )
     out = jax.tree.map(lambda x: x[:N], out)  # drop padded persons

@@ -39,13 +39,9 @@ def main(argv: list[str]) -> None:
         synthetic_eval_batches,
     )
 
-    own, overrides = {}, []
-    for a in argv:
-        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
-        if key == "checkpoint":
-            own[key] = a.split("=", 1)[1]
-        else:
-            overrides.append(a)
+    from human_3d_reconstruction_tpu.cli.common import split_own_args
+
+    own, overrides = split_own_args(argv, ("checkpoint",))
     config = load_config(overrides)
 
     smpl_model = build_smpl(config)

@@ -29,13 +29,9 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.serving import MeshRecoverySession
     from human_3d_reconstruction_tpu.serving_export import export_recovery_artifact
 
-    own, overrides = {}, []
-    for a in argv:
-        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
-        if key in ("out", "frame", "buckets", "checkpoint"):
-            own[key] = a.split("=", 1)[1] if "=" in a else "1"
-        else:
-            overrides.append(a)
+    from human_3d_reconstruction_tpu.cli.common import split_own_args
+
+    own, overrides = split_own_args(argv, ("out", "frame", "buckets", "checkpoint"))
     config = load_config(overrides)
     if "out" not in own:
         raise SystemExit("error: --out=<artifact_dir> is required")

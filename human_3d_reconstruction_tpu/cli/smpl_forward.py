@@ -26,13 +26,9 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.ops import smpl_forward_fused
     from human_3d_reconstruction_tpu.smpl import smpl_forward
 
-    own, overrides = {}, []
-    for a in argv:
-        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
-        if key in ("pose", "betas", "obj"):
-            own[key] = a.split("=", 1)[1]
-        else:
-            overrides.append(a)
+    from human_3d_reconstruction_tpu.cli.common import split_own_args
+
+    own, overrides = split_own_args(argv, ("pose", "betas", "obj"))
     config = load_config(overrides or ["smpl_only"])
 
     pose = (

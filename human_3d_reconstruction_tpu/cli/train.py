@@ -165,11 +165,13 @@ def main(argv: list[str]) -> None:
     batches = device_prefetch(
         map(to_dict, loader), place=lambda b: shard_batch(b, mesh)
     )
-    if config.data.echo_factor > 1:
+    if config.data.echo_factor != 1:
         from human_3d_reconstruction_tpu.data.prefetch import echo_batches
 
         # After prefetch: echoes reuse the device buffers (one H2D per
         # host batch); each echo step draws a fresh on-device augmentation.
+        # echo_batches itself rejects factors < 1 (a 0 is a config bug, not
+        # an off switch).
         batches = echo_batches(batches, config.data.echo_factor)
         echo(f"data echoing x{config.data.echo_factor}")
 

@@ -35,7 +35,8 @@ IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 
 def _iter_frames(own: dict):
-    """Yield (index, RGB float32 frame). Sources: dir of images, video, synthetic."""
+    """Yield (index, RGB frame). Decoded sources stay uint8 (4x less
+    host->device traffic in the serving session); synthetic is float32."""
     if "frames" in own:
         import cv2
 
@@ -48,7 +49,7 @@ def _iter_frames(own: dict):
             raw = cv2.imread(str(p))
             if raw is None:
                 raise SystemExit(f"error: cannot read frame {p}")
-            yield i, cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
+            yield i, cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
     elif "video" in own:
         import cv2
 
@@ -60,7 +61,7 @@ def _iter_frames(own: dict):
             ok, raw = cap.read()
             if not ok:
                 break
-            yield i, cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
+            yield i, cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
             i += 1
         cap.release()
     else:
@@ -89,16 +90,14 @@ def main(argv: list[str]) -> None:
         draw_keypoints,
     )
 
-    own, overrides = {}, []
-    for a in argv:
-        key = a[2:].split("=", 1)[0] if a.startswith("--") else ""
-        if key in ("frames", "video", "boxes", "out", "checkpoint", "fps",
-                   "synthetic_frames", "max_frames"):
-            own[key] = a.split("=", 1)[1] if "=" in a else "1"
-        elif key in ("no_track", "no_smooth"):
-            own[key] = "1"
-        else:
-            overrides.append(a)
+    from human_3d_reconstruction_tpu.cli.common import split_own_args
+
+    own, overrides = split_own_args(
+        argv,
+        ("frames", "video", "boxes", "out", "checkpoint", "fps",
+         "synthetic_frames", "max_frames"),
+        flags=("no_track", "no_smooth"),
+    )
     config = load_config(overrides)
     fps = float(own.get("fps", 30.0))
     out_dir = Path(own.get("out", "video_out"))
@@ -180,7 +179,15 @@ def main(argv: list[str]) -> None:
         H, W = frame.shape[:2]
         if boxes is None:
             boxes = np.asarray([[W / 2, H / 2, min(H, W) * 0.9]], np.float32)
-        results = session.recover(frame, boxes)
+        # Smoothing re-decodes verts from the smoothed params, so the raw
+        # vertex buffers never leave the device in that mode (the D2H copy
+        # of (N, 6890, 3) is the dominant per-frame cost on remote hosts).
+        fetch = (
+            ("theta", "beta", "cam", "joints2d")
+            if smooth
+            else MeshRecoverySession._ALL_FIELDS
+        )
+        results = session.recover(frame, boxes, fields=fetch)
         N = len(results)
 
         # Temporal smoothing of the parameter stream (per person slot).

@@ -347,10 +347,10 @@ def _fused_core(
     # VMEM even at the minimum legal 128-lane tile (B=512 measured 18.6 MB
     # on the v5e), so larger batches run as a lax.map over <=256-body
     # chunks — each chunk uses the proven tile table, and autodiff maps
-    # chunk-wise through the custom-vjp op.
-    Bk = B
-    while Bk > _MAX_KERNEL_BATCH and Bk % 2 == 0:
-        Bk //= 2
+    # chunk-wise through the custom-vjp op. Batches that don't divide
+    # evenly are zero-padded to the next chunk multiple and sliced back
+    # (pad rows cost dead FLOPs, never a different tile regime).
+    Bk = min(B, _MAX_KERNEL_BATCH)
 
     if not isinstance(prepared["basis_dirs"], jax.core.Tracer):
         # Concrete params: fully-differentiable op (Pallas fwd + Pallas bwd);
@@ -379,11 +379,15 @@ def _fused_core(
     if Bk == B:
         verts_cm = kernel(coeffs, At)
     else:
-        n = B // Bk
+        n = -(-B // Bk)
+        pad = n * Bk - B
+        if pad:
+            coeffs = jnp.concatenate([coeffs, jnp.zeros((pad, coeffs.shape[1]))])
+            At = jnp.concatenate([At, jnp.zeros((pad * 16, 24))])
         verts_cm = jax.lax.map(
             lambda args: kernel(*args),
             (coeffs.reshape(n, Bk, -1), At.reshape(n, Bk * 16, 24)),
-        ).reshape(B, 3, -1)
+        ).reshape(n * Bk, 3, -1)[:B]
     return verts_cm, rotations, transforms, rest_joints
 
 

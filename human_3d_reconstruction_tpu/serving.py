@@ -51,6 +51,16 @@ class PersonResult:
     box: np.ndarray        # (3,) [cx, cy, scale]
 
 
+def run_person_chunks(boxes: np.ndarray, cap: int, run_chunk):
+    """Serve any crowd size through fixed-bucket programs: run `run_chunk`
+    on <=cap-person slices and concatenate the output pytrees along the
+    person axis. Shared by the live and the AOT-exported sessions."""
+    chunks = [run_chunk(boxes[i : i + cap]) for i in range(0, len(boxes), cap)]
+    if len(chunks) == 1:
+        return chunks[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+
 class MeshRecoverySession:
     """Owns the model + compiled programs; thread-compatible (pure calls)."""
 
@@ -145,44 +155,67 @@ class MeshRecoverySession:
         out = self._recover(self.variables, self.smpl_params, frame, centers, scales)
         return jax.tree.map(lambda x: x[:N], out)
 
+    @staticmethod
+    def _frame_to_device_dtype(frame: np.ndarray) -> np.ndarray:
+        """uint8 frames ship as uint8 (4x less H2D traffic — the dominant
+        serving cost on remote/tunneled hosts; the cast to compute dtype
+        happens on device in separable_crop). Float inputs stay f32 — no
+        silent quantization."""
+        frame = np.asarray(frame)
+        if frame.dtype == np.uint8:
+            return frame
+        return np.asarray(frame, np.float32)
+
     def _run(self, frame: np.ndarray, boxes: np.ndarray) -> MeshRecoveryOutput:
         """Any N: crowds beyond the largest bucket run in chunked batches."""
-        frame = jnp.asarray(frame, jnp.float32)
-        cap = self.buckets[-1]
-        if len(boxes) <= cap:
-            return self._run_chunk(frame, boxes)
-        chunks = [
-            self._run_chunk(frame, boxes[i : i + cap])
-            for i in range(0, len(boxes), cap)
-        ]
-        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+        frame = jnp.asarray(self._frame_to_device_dtype(frame))
+        return run_person_chunks(
+            boxes, self.buckets[-1], lambda b: self._run_chunk(frame, b)
+        )
 
-    def recover(self, frame: np.ndarray, boxes) -> list[PersonResult]:
-        """One frame (H, W, 3) [0,255] + boxes (N, 3) [cx, cy, scale]."""
-        boxes = np.atleast_2d(np.asarray(boxes, np.float32))
-        out = self._run(frame, boxes)
-        host = jax.device_get(out)
+    # PersonResult fields -> MeshRecoveryOutput fields fetched from device.
+    _ALL_FIELDS = ("theta", "beta", "cam", "verts", "joints3d", "joints2d")
+
+    def _to_results(
+        self, out: MeshRecoveryOutput, boxes: np.ndarray, fields
+    ) -> list[PersonResult]:
+        """device_get ONLY the requested fields — on remote/tunneled hosts
+        the D2H copy of (N, 6890, 3) vertex buffers dominates serving time
+        (measured: ~80% of per-frame latency at 480p), so a params-only
+        caller skips it entirely. Unfetched fields are None."""
+        host = jax.device_get({k: getattr(out, k) for k in fields})
+        blank = {k: None for k in self._ALL_FIELDS}
         return [
             PersonResult(
-                theta=host.theta[i],
-                beta=host.beta[i],
-                cam=host.cam[i],
-                verts=host.verts[i],
-                joints3d=host.joints3d[i],
-                joints2d=host.joints2d[i],
+                **{**blank, **{k: v[i] for k, v in host.items()}},
                 box=boxes[i],
             )
             for i in range(len(boxes))
         ]
 
+    def recover(
+        self, frame: np.ndarray, boxes, fields=_ALL_FIELDS
+    ) -> list[PersonResult]:
+        """One frame (H, W, 3) [0,255] + boxes (N, 3) [cx, cy, scale].
+
+        `fields` selects which outputs are copied to the host (e.g.
+        ("theta", "beta", "cam") for a params-only stream); the device
+        program is unchanged, only the transfer shrinks.
+        """
+        boxes = np.atleast_2d(np.asarray(boxes, np.float32))
+        return self._to_results(self._run(frame, boxes), boxes, fields)
+
     def recover_batch(
-        self, frames: Sequence[np.ndarray], boxes_list: Sequence[np.ndarray]
+        self,
+        frames: Sequence[np.ndarray],
+        boxes_list: Sequence[np.ndarray],
+        fields=_ALL_FIELDS,
     ) -> list[list[PersonResult]]:
         """Video-style API: list of frames, per-frame boxes."""
-        return [self.recover(f, b) for f, b in zip(frames, boxes_list)]
+        return [self.recover(f, b, fields=fields) for f, b in zip(frames, boxes_list)]
 
     def recover_clip(
-        self, frames: Sequence[np.ndarray], boxes_list: Sequence
+        self, frames: Sequence[np.ndarray], boxes_list: Sequence, fields=_ALL_FIELDS
     ) -> list[list[PersonResult]]:
         """Batched clip recovery: ALL frames' crops in one device program.
 
@@ -199,11 +232,25 @@ class MeshRecoverySession:
             return []
         if len(boxes_list) != F:
             raise ValueError(f"{F} frames but {len(boxes_list)} box lists")
-        frames = np.stack([np.asarray(f, np.float32) for f in frames])
         boxes_np = [
             np.atleast_2d(np.asarray(b, np.float32)).reshape(-1, 3)
             for b in boxes_list
         ]
+        # Crowds beyond the largest person bucket: chunk the person axis and
+        # merge per frame (same discipline as `recover`, kept clip-batched).
+        pcap = self.buckets[-1]
+        if max(len(b) for b in boxes_np) > pcap:
+            merged: list[list[PersonResult]] = [[] for _ in range(F)]
+            for pstart in range(0, max(len(b) for b in boxes_np), pcap):
+                part = self.recover_clip(
+                    frames,
+                    [b[pstart : pstart + pcap] for b in boxes_np],
+                    fields=fields,
+                )
+                for fi in range(F):
+                    merged[fi].extend(part[fi])
+            return merged
+        frames = np.stack([self._frame_to_device_dtype(f) for f in frames])
         counts = [len(b) for b in boxes_np]
         H, W = frames.shape[1:3]
         full = np.asarray([[W / 2, H / 2, max(H, W)]], np.float32)
@@ -236,18 +283,14 @@ class MeshRecoverySession:
                 jnp.asarray(b_chunk[:, :, :2]),
                 jnp.asarray(b_chunk[:, :, 2]),
             )
-            host = jax.device_get(out)
+            host = jax.device_get({k: getattr(out, k) for k in fields})
+            blank = {k: None for k in self._ALL_FIELDS}
             for fi in range(chunk.stop - chunk.start):
                 n = counts[start + fi]
                 results.append(
                     [
                         PersonResult(
-                            theta=host.theta[fi, i],
-                            beta=host.beta[fi, i],
-                            cam=host.cam[fi, i],
-                            verts=host.verts[fi, i],
-                            joints3d=host.joints3d[fi, i],
-                            joints2d=host.joints2d[fi, i],
+                            **{**blank, **{k: v[fi, i] for k, v in host.items()}},
                             box=boxes_np[start + fi][i],
                         )
                         for i in range(n)

@@ -159,16 +159,15 @@ class ExportedRecoverySession:
                 f"frame shape {frame.shape[:2]} != exported {self.frame_shape}; "
                 "export an artifact per camera geometry"
             )
+        from human_3d_reconstruction_tpu.serving import run_person_chunks
+
         boxes = np.atleast_2d(np.asarray(boxes, np.float32)).reshape(-1, 3)
         if len(boxes) == 0:
             return []
         frame = jnp.asarray(frame, jnp.float32)
-        cap = self.buckets[-1]
-        chunks = [
-            self._run_chunk(frame, boxes[i : i + cap])
-            for i in range(0, len(boxes), cap)
-        ]
-        out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+        out = run_person_chunks(
+            boxes, self.buckets[-1], lambda b: self._run_chunk(frame, b)
+        )
         host = jax.device_get(out)
         return [
             {k: v[i] for k, v in host.items()} | {"box": boxes[i]}

@@ -35,6 +35,42 @@ def _auto_chunk(H: int, W: int) -> int:
     return int(max(8, min(1024, budget // max(H * W, 1))))
 
 
+def _pad_to_chunks(arr: jax.Array, C: int) -> jax.Array:
+    """Zero-pad the leading (triangle) axis to a multiple of C and fold it
+    into (n_chunks, C, ...) for lax.scan."""
+    pad = (-arr.shape[0]) % C
+    if pad:
+        arr = jnp.concatenate([arr, jnp.zeros((pad, *arr.shape[1:]), arr.dtype)])
+    return arr.reshape(-1, C, *arr.shape[1:])
+
+
+def _edge_weights(t: jax.Array, pxg: jax.Array, pyg: jax.Array, eps: float):
+    """Barycentric weights of pixel centers w.r.t. a triangle chunk.
+
+    t: (C, 3, 3) [x, y, z] vertices; pxg/pyg broadcastable pixel grids.
+    Returns (w0, w1, valid, denom); w0/w1 of shape (C, H, W), w2 = 1-w0-w1
+    (denom is the signed double-area, used by the soft path's pixel-unit
+    normalization).
+    Zero-area triangles (|denom| <= eps) are flagged invalid with weights
+    forced to 0. One definition serves the hard z-buffer and the soft
+    silhouette so edge handling can't drift between them.
+    """
+    v0, v1, v2 = t[:, 0], t[:, 1], t[:, 2]
+    denom = (v1[:, 1] - v2[:, 1]) * (v0[:, 0] - v2[:, 0]) + (
+        v2[:, 0] - v1[:, 0]
+    ) * (v0[:, 1] - v2[:, 1])
+    valid = jnp.abs(denom) > eps
+    inv = jnp.where(valid, 1.0 / jnp.where(valid, denom, 1.0), 0.0)
+
+    def bary(a, b):
+        return (
+            (a[:, 1] - b[:, 1])[:, None, None] * (pxg - b[:, 0][:, None, None])
+            + (b[:, 0] - a[:, 0])[:, None, None] * (pyg - b[:, 1][:, None, None])
+        ) * inv[:, None, None]
+
+    return bary(v1, v2), bary(v2, v0), valid, denom
+
+
 @partial(jax.jit, static_argnames=("height", "width", "chunk"))
 def rasterize_scene(
     verts_px: jax.Array,
@@ -62,40 +98,18 @@ def rasterize_scene(
     """
     H, W = height, width
     C = chunk if chunk else _auto_chunk(H, W)
-    tri = verts_px[faces]  # (F, 3, 3)
-    F = tri.shape[0]
-    pad = (-F) % C
-    if pad:
-        tri = jnp.concatenate([tri, jnp.zeros((pad, 3, 3), tri.dtype)])
-        face_shade = jnp.concatenate([face_shade, jnp.zeros((pad,), face_shade.dtype)])
-        face_color = jnp.concatenate([face_color, jnp.zeros((pad, 3), face_color.dtype)])
-    tri = tri.reshape(-1, C, 3, 3)
-    face_shade = face_shade.reshape(-1, C)
-    face_color = face_color.reshape(-1, C, 3)
+    tri = _pad_to_chunks(verts_px[faces], C)  # (n, C, 3, 3)
+    face_shade = _pad_to_chunks(face_shade, C)
+    face_color = _pad_to_chunks(face_color, C)
 
-    px = jnp.arange(W, dtype=jnp.float32) + 0.5
-    py = jnp.arange(H, dtype=jnp.float32) + 0.5
-    pxg = px[None, None, :]  # (1, 1, W)
-    pyg = py[None, :, None]  # (1, H, 1)
+    pxg = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, None, :]  # (1, 1, W)
+    pyg = (jnp.arange(H, dtype=jnp.float32) + 0.5)[None, :, None]  # (1, H, 1)
 
     def step(carry, inputs):
         zbuf, shade, color = carry
         t, lam, col = inputs  # (C, 3, 3), (C,), (C, 3)
         v0, v1, v2 = t[:, 0], t[:, 1], t[:, 2]
-        denom = (v1[:, 1] - v2[:, 1]) * (v0[:, 0] - v2[:, 0]) + (
-            v2[:, 0] - v1[:, 0]
-        ) * (v0[:, 1] - v2[:, 1])
-        valid = jnp.abs(denom) > 1e-12
-        inv = jnp.where(valid, 1.0 / jnp.where(valid, denom, 1.0), 0.0)
-
-        def bary(a, b):
-            return (
-                (a[:, 1] - b[:, 1])[:, None, None] * (pxg - b[:, 0][:, None, None])
-                + (b[:, 0] - a[:, 0])[:, None, None] * (pyg - b[:, 1][:, None, None])
-            ) * inv[:, None, None]
-
-        w0 = bary(v1, v2)  # (C, H, W)
-        w1 = bary(v2, v0)
+        w0, w1, valid, _ = _edge_weights(t, pxg, pyg, eps=1e-12)
         w2 = 1.0 - w0 - w1
         inside = (
             (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[:, None, None]
@@ -205,32 +219,16 @@ def soft_silhouette(
     """
     H, W = height, width
     C = chunk if chunk else _auto_chunk(H, W)
-    tri = verts_px[faces].astype(jnp.float32)
-    F = tri.shape[0]
-    pad = (-F) % C
-    if pad:
-        tri = jnp.concatenate([tri, jnp.zeros((pad, 3, 3), tri.dtype)])
-    tri = tri.reshape(-1, C, 3, 3)
+    tri = _pad_to_chunks(verts_px[faces].astype(jnp.float32), C)
 
-    px = jnp.arange(W, dtype=jnp.float32)[None, None, :] + 0.5
-    py = jnp.arange(H, dtype=jnp.float32)[None, :, None] + 0.5
+    pxg = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, None, :]
+    pyg = (jnp.arange(H, dtype=jnp.float32) + 0.5)[None, :, None]
 
     def step(log_miss, t):
-        v0, v1, v2 = t[:, 0], t[:, 1], t[:, 2]
-        denom = (v1[:, 1] - v2[:, 1]) * (v0[:, 0] - v2[:, 0]) + (
-            v2[:, 0] - v1[:, 0]
-        ) * (v0[:, 1] - v2[:, 1])
-        valid = jnp.abs(denom) > 1e-6
-        inv = jnp.where(valid, 1.0 / jnp.where(valid, denom, 1.0), 0.0)
-
-        def bary(a, b):
-            return (
-                (a[:, 1] - b[:, 1])[:, None, None] * (px - b[:, 0][:, None, None])
-                + (b[:, 0] - a[:, 0])[:, None, None] * (py - b[:, 1][:, None, None])
-            ) * inv[:, None, None]
-
-        w0 = bary(v1, v2)
-        w1 = bary(v2, v0)
+        # larger eps than the hard path: near-degenerate triangles have
+        # exploding d(weights)/d(verts), which would poison the gradients
+        # this path exists to provide
+        w0, w1, valid, denom = _edge_weights(t, pxg, pyg, eps=1e-6)
         margin = jnp.minimum(jnp.minimum(w0, w1), 1.0 - w0 - w1)
         # normalize the margin to ~pixel units so `sharpness` is in px^-1
         scale = jnp.sqrt(jnp.abs(denom))[:, None, None]

@@ -159,6 +159,13 @@ class TestVertTileSelection:
         v_x = smpl_forward(raw, pose, betas).verts
         np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_x), atol=2e-5)
 
+        # odd (non-multiple-of-chunk) batch: zero-padded to the next chunk
+        # multiple and sliced back
+        v_f260 = smpl_forward_fused(prep, pose[:260], betas[:260]).verts
+        np.testing.assert_allclose(
+            np.asarray(v_f260), np.asarray(v_x[:260]), atol=2e-5
+        )
+
         g_f = jax.grad(lambda p: jnp.sum(smpl_forward_fused(prep, p, betas).verts ** 2))(pose)
         g_x = jax.grad(lambda p: jnp.sum(smpl_forward(raw, p, betas).verts ** 2))(pose)
         np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x), rtol=2e-3, atol=2e-2)

@@ -63,6 +63,46 @@ class TestServing:
         solo = small.recover(frame, boxes[:1])[0]
         np.testing.assert_allclose(solo.verts, results[0].verts, atol=1e-5)
 
+    def test_uint8_frames_match_f32(self, session, frame):
+        """uint8 frames (4x less H2D) decode identically — the cast to the
+        compute dtype happens on device with integer-exact values."""
+        u8 = frame.astype(np.uint8)
+        a = session.recover(u8, [[80.0, 60.0, 90.0]])[0]
+        b = session.recover(u8.astype(np.float32), [[80.0, 60.0, 90.0]])[0]
+        np.testing.assert_allclose(a.verts, b.verts, atol=1e-6)
+        c = session.recover_clip([u8], [[[80.0, 60.0, 90.0]]])[0][0]
+        np.testing.assert_allclose(c.verts, b.verts, atol=2e-5)
+
+    def test_fields_selection_skips_transfer(self, session, frame):
+        """fields=(...) fetches only those outputs (verts stays on device)."""
+        slim = session.recover(frame, [[80.0, 60.0, 90.0]],
+                               fields=("theta", "beta", "cam"))[0]
+        assert slim.verts is None and slim.joints2d is None
+        full = session.recover(frame, [[80.0, 60.0, 90.0]])[0]
+        np.testing.assert_allclose(slim.theta, full.theta, atol=1e-6)
+        clip = session.recover_clip([frame], [[[80.0, 60.0, 90.0]]],
+                                    fields=("theta",))[0][0]
+        assert clip.verts is None
+        np.testing.assert_allclose(clip.theta, full.theta, atol=2e-5)
+
+    def test_recover_clip_chunks_crowds(self, smpl_model, frame, rng):
+        """Clip mode with a frame exceeding the largest person bucket chunks
+        the person axis (stays clip-batched) instead of raising."""
+        import jax.numpy as jnp
+
+        model = HMRModel(config=HMRConfig())
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        small = MeshRecoverySession(
+            variables, smpl_model, crop_size=64, smpl_path="xla", buckets=(1, 2)
+        )
+        boxes0 = rng.uniform(40, 80, (5, 3)).astype(np.float32)  # > bucket 2
+        boxes1 = rng.uniform(40, 80, (1, 3)).astype(np.float32)
+        clip = small.recover_clip([frame, frame], [boxes0, boxes1])
+        assert [len(r) for r in clip] == [5, 1]
+        ref = small.recover(frame, boxes0)
+        for r, c in zip(ref, clip[0]):
+            np.testing.assert_allclose(r.verts, c.verts, atol=2e-5)
+
     def test_batch_api(self, session, frame, rng):
         frame2 = rng.uniform(0, 255, (120, 160, 3)).astype(np.float32)
         out = session.recover_batch(
