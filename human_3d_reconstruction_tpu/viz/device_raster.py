@@ -29,10 +29,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _auto_chunk(H: int, W: int) -> int:
-    """Triangle-chunk size keeping the (C, H, W) lattice ~64 MB in f32."""
-    budget = 16 * 1024 * 1024  # elements
-    return int(max(8, min(1024, budget // max(H * W, 1))))
+def _auto_chunk(num_faces: int) -> int:
+    """Triangle-chunk size targeting ~16 scan steps.
+
+    Measured on v5e (480p, 27.5k tris): per-step fixed overhead dominates
+    small chunks — 2693 ms at the old element-budget default (C=54, 511
+    steps) vs 266 ms at C=2048 (14 steps). XLA fuses the (C, H, W) lattice
+    into the min-reduction instead of materializing it, so chunk size
+    costs far less HBM than the dense model suggests; cap at 4096 to stay
+    safely fusible."""
+    c = -(-num_faces // 16)
+    return int(min(4096, max(128, (c + 7) // 8 * 8)))
 
 
 def _pad_to_chunks(arr: jax.Array, C: int) -> jax.Array:
@@ -97,7 +104,7 @@ def rasterize_scene(
         hit (H, W) bool.
     """
     H, W = height, width
-    C = chunk if chunk else _auto_chunk(H, W)
+    C = chunk if chunk else _auto_chunk(faces.shape[0])
     tri = _pad_to_chunks(verts_px[faces], C)  # (n, C, 3, 3)
     face_shade = _pad_to_chunks(face_shade, C)
     face_color = _pad_to_chunks(face_color, C)
@@ -218,7 +225,7 @@ def soft_silhouette(
     argmin cannot.
     """
     H, W = height, width
-    C = chunk if chunk else _auto_chunk(H, W)
+    C = chunk if chunk else _auto_chunk(faces.shape[0])
     tri = _pad_to_chunks(verts_px[faces].astype(jnp.float32), C)
 
     pxg = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, None, :]
