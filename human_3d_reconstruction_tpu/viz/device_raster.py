@@ -237,8 +237,13 @@ def soft_silhouette(
         # this path exists to provide
         w0, w1, valid, denom = _edge_weights(t, pxg, pyg, eps=1e-6)
         margin = jnp.minimum(jnp.minimum(w0, w1), 1.0 - w0 - w1)
-        # normalize the margin to ~pixel units so `sharpness` is in px^-1
-        scale = jnp.sqrt(jnp.abs(denom))[:, None, None]
+        # normalize the margin to ~pixel units so `sharpness` is in px^-1.
+        # sqrt must see a nonzero argument even for masked (degenerate/pad)
+        # triangles: d/dx sqrt(|x|) at 0 is inf, and `where` after the fact
+        # cannot remove a NaN that the backward already produced (the
+        # where-grad trap) — so clamp BEFORE the sqrt.
+        safe = jnp.where(valid, jnp.abs(denom), 1.0)
+        scale = jnp.sqrt(safe)[:, None, None]
         cov = jax.nn.sigmoid(sharpness * margin * scale)
         cov = jnp.where(valid[:, None, None], cov, 0.0)
         log_miss = log_miss + jnp.sum(jnp.log1p(-cov * (1 - 1e-6)), axis=0)

@@ -91,3 +91,46 @@ class TestFitting:
         hist = np.asarray(r.loss_history)
         assert hist[-1] < hist[0]
         assert float(jnp.abs(r.theta).max()) < 10.0
+
+
+class TestMaskSupervision:
+    def test_silhouette_term_recovers_camera_shift(self, smpl_model):
+        """Mask-only objective: a shifted camera is pulled back toward the
+        target silhouette (gradients flow through the soft rasterizer)."""
+        from human_3d_reconstruction_tpu.viz.device_raster import silhouette
+
+        rng = np.random.default_rng(11)
+        B, Hm = 1, 48
+        theta = jnp.asarray(rng.normal(0, 0.2, (B, 72)).astype(np.float32))
+        beta = jnp.zeros((B, 10))
+        cam_gt = jnp.asarray([[0.9, 0.0, 0.0]])
+        params = {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()}
+        faces = jnp.asarray(np.asarray(smpl_model.faces), jnp.int32)
+
+        def hard_mask(cm):
+            out = smpl_forward(params, theta, beta)
+            v2d = orthographic_project(out.verts, cm)
+            vpx = jnp.stack(
+                [
+                    (v2d[..., 0] + 1.0) * 0.5 * Hm,
+                    (v2d[..., 1] + 1.0) * 0.5 * Hm,
+                    out.verts[..., 2],
+                ],
+                axis=-1,
+            )[0]
+            return silhouette(vpx, faces, Hm, Hm)[None]
+
+        target = hard_mask(cam_gt)
+        cam_bad = jnp.asarray([[0.9, 0.25, 0.0]])  # shifted right
+
+        result = refine_params(
+            params, theta, beta, cam_bad,
+            kp2d=jnp.zeros((B, NUM_KP, 2)), vis=jnp.zeros((B, NUM_KP)),
+            num_steps=30, lr=0.03, lambda_kp=0.0, lambda_prior_theta=0.0,
+            lambda_prior_beta=0.0, fit_beta=False,
+            masks=target, lambda_mask=1.0, mask_sharpness=2.0,
+        )
+        err0 = float(jnp.abs(cam_bad[0, 1] - cam_gt[0, 1]))
+        err1 = float(jnp.abs(result.cam[0, 1] - cam_gt[0, 1]))
+        assert err1 < err0 * 0.5, (err0, err1)
+        assert float(result.loss_history[-1]) < float(result.loss_history[0])
