@@ -7,8 +7,14 @@ component, designed for how a TPU wants to rasterize:
 - no per-triangle scatter (dynamic, serial) — instead a dense
   pixels-x-triangles barycentric test, chunked over triangles with
   `lax.scan` carrying the (depth, shade) buffers. Every chunk is a fused
-  elementwise block over a (C, H, W) lattice: pure VPU work with static
-  shapes, no data-dependent control flow;
+  elementwise block over a (P, C) lattice (P = flattened pixels as rows,
+  C = triangle chunk on the 128-lane axis): pure VPU work with static
+  shapes, no data-dependent control flow. The transposed layout makes the
+  per-pixel min/argmin over triangles a lane reduction — 2.3x faster than
+  the triangles-leading layout on a z-only probe (86.6 vs 202.4 ms, v5e
+  480p/27.5k tris); with the shade/color payload merge the two layouts
+  measure even (~270 ms @ chunk 2048), so the payload gather is the next
+  bottleneck. The chunk must be lane-aligned (multiple of 128);
 - occlusion = a min-depth reduction, so multi-mesh scenes rasterize in ONE
   call by concatenating triangle lists (the z-buffer resolves inter-person
   occlusion, which the host path approximates by painter's-order blending);
@@ -34,12 +40,14 @@ def _auto_chunk(num_faces: int) -> int:
 
     Measured on v5e (480p, 27.5k tris): per-step fixed overhead dominates
     small chunks — 2693 ms at the old element-budget default (C=54, 511
-    steps) vs 266 ms at C=2048 (14 steps). XLA fuses the (C, H, W) lattice
+    steps) vs 266 ms at C=2048 (14 steps). XLA fuses the (P, C) lattice
     into the min-reduction instead of materializing it, so chunk size
     costs far less HBM than the dense model suggests; cap at 4096 to stay
-    safely fusible."""
-    c = -(-num_faces // 16)
-    return int(min(4096, max(128, (c + 7) // 8 * 8)))
+    safely fusible. The chunk is the LANE axis of the (P, C) lattice, so
+    it must be a multiple of 128 (a 864-lane chunk measured 155 ms where
+    an aligned 512 ran 30 ms on the soft-silhouette workload)."""
+    c = -(-num_faces // 8)
+    return int(min(2048, max(512, -(-c // 128) * 128)))
 
 
 def _pad_to_chunks(arr: jax.Array, C: int) -> jax.Array:
@@ -51,13 +59,24 @@ def _pad_to_chunks(arr: jax.Array, C: int) -> jax.Array:
     return arr.reshape(-1, C, *arr.shape[1:])
 
 
-def _edge_weights(t: jax.Array, pxg: jax.Array, pyg: jax.Array, eps: float):
+def _pixel_rows(height: int, width: int) -> tuple[jax.Array, jax.Array]:
+    """Flattened pixel-center coordinates, row-major: two (P,) vectors."""
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+    return (
+        jnp.broadcast_to(px, (height, width)).reshape(-1),
+        jnp.broadcast_to(py, (height, width)).reshape(-1),
+    )
+
+
+def _edge_weights(t: jax.Array, pxf: jax.Array, pyf: jax.Array, eps: float):
     """Barycentric weights of pixel centers w.r.t. a triangle chunk.
 
-    t: (C, 3, 3) [x, y, z] vertices; pxg/pyg broadcastable pixel grids.
-    Returns (w0, w1, valid, denom); w0/w1 of shape (C, H, W), w2 = 1-w0-w1
-    (denom is the signed double-area, used by the soft path's pixel-unit
-    normalization).
+    t: (C, 3, 3) [x, y, z] vertices; pxf/pyf: (P,) flattened pixel centers.
+    Returns (w0, w1, valid, denom); w0/w1 of shape (P, C) — pixels are
+    rows, triangles ride the lane axis (see module docstring for the
+    measured rationale); w2 = 1 - w0 - w1. denom is the signed
+    double-area, used by the soft path's pixel-unit normalization.
     Zero-area triangles (|denom| <= eps) are flagged invalid with weights
     forced to 0. One definition serves the hard z-buffer and the soft
     silhouette so edge handling can't drift between them.
@@ -71,9 +90,9 @@ def _edge_weights(t: jax.Array, pxg: jax.Array, pyg: jax.Array, eps: float):
 
     def bary(a, b):
         return (
-            (a[:, 1] - b[:, 1])[:, None, None] * (pxg - b[:, 0][:, None, None])
-            + (b[:, 0] - a[:, 0])[:, None, None] * (pyg - b[:, 1][:, None, None])
-        ) * inv[:, None, None]
+            (a[:, 1] - b[:, 1])[None, :] * (pxf[:, None] - b[:, 0][None, :])
+            + (b[:, 0] - a[:, 0])[None, :] * (pyf[:, None] - b[:, 1][None, :])
+        ) * inv[None, :]
 
     return bary(v1, v2), bary(v2, v0), valid, denom
 
@@ -104,50 +123,46 @@ def rasterize_scene(
         hit (H, W) bool.
     """
     H, W = height, width
+    P = H * W
     C = chunk if chunk else _auto_chunk(faces.shape[0])
     tri = _pad_to_chunks(verts_px[faces], C)  # (n, C, 3, 3)
     face_shade = _pad_to_chunks(face_shade, C)
     face_color = _pad_to_chunks(face_color, C)
-
-    pxg = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, None, :]  # (1, 1, W)
-    pyg = (jnp.arange(H, dtype=jnp.float32) + 0.5)[None, :, None]  # (1, H, 1)
+    pxf, pyf = _pixel_rows(H, W)
 
     def step(carry, inputs):
-        zbuf, shade, color = carry
+        zbuf, shade, color = carry  # (P,), (P,), (P, 3)
         t, lam, col = inputs  # (C, 3, 3), (C,), (C, 3)
-        v0, v1, v2 = t[:, 0], t[:, 1], t[:, 2]
-        w0, w1, valid, _ = _edge_weights(t, pxg, pyg, eps=1e-12)
+        w0, w1, valid, _ = _edge_weights(t, pxf, pyf, eps=1e-12)  # (P, C)
         w2 = 1.0 - w0 - w1
-        inside = (
-            (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[:, None, None]
-        )
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[None, :]
         z = (
-            w0 * v0[:, 2][:, None, None]
-            + w1 * v1[:, 2][:, None, None]
-            + w2 * v2[:, 2][:, None, None]
+            w0 * t[:, 0, 2][None, :]
+            + w1 * t[:, 1, 2][None, :]
+            + w2 * t[:, 2, 2][None, :]
         )
         # non-finite z (near-degenerate triangles overflow the barycentric
         # weights) must lose the depth race deterministically
         z = jnp.where(inside & jnp.isfinite(z), z, jnp.inf)
-        # chunk-local winner, then merge into the carry buffers
-        idx = jnp.argmin(z, axis=0)  # (H, W)
-        zc = jnp.take_along_axis(z, idx[None], axis=0)[0]
+        # chunk-local winner (a lane reduction), then merge into the carry
+        idx = jnp.argmin(z, axis=1)  # (P,)
+        zc = jnp.take_along_axis(z, idx[:, None], axis=1)[:, 0]
         lam_c = lam[idx]
         col_c = col[idx]
         closer = zc < zbuf
         zbuf = jnp.where(closer, zc, zbuf)
         shade = jnp.where(closer, lam_c, shade)
-        color = jnp.where(closer[..., None], col_c, color)
+        color = jnp.where(closer[:, None], col_c, color)
         return (zbuf, shade, color), None
 
     init = (
-        jnp.full((H, W), jnp.inf, jnp.float32),
-        jnp.zeros((H, W), jnp.float32),
-        jnp.zeros((H, W, 3), jnp.float32),
+        jnp.full((P,), jnp.inf, jnp.float32),
+        jnp.zeros((P,), jnp.float32),
+        jnp.zeros((P, 3), jnp.float32),
     )
     (zbuf, shade, color), _ = jax.lax.scan(step, init, (tri, face_shade, face_color))
-    hit = jnp.isfinite(zbuf)
-    return zbuf, shade, color, hit
+    zbuf = zbuf.reshape(H, W)
+    return zbuf, shade.reshape(H, W), color.reshape(H, W, 3), jnp.isfinite(zbuf)
 
 
 def lambert_shade(verts_px: jax.Array, faces: jax.Array) -> jax.Array:
@@ -227,15 +242,13 @@ def soft_silhouette(
     H, W = height, width
     C = chunk if chunk else _auto_chunk(faces.shape[0])
     tri = _pad_to_chunks(verts_px[faces].astype(jnp.float32), C)
-
-    pxg = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, None, :]
-    pyg = (jnp.arange(H, dtype=jnp.float32) + 0.5)[None, :, None]
+    pxf, pyf = _pixel_rows(H, W)
 
     def step(log_miss, t):
         # larger eps than the hard path: near-degenerate triangles have
         # exploding d(weights)/d(verts), which would poison the gradients
         # this path exists to provide
-        w0, w1, valid, denom = _edge_weights(t, pxg, pyg, eps=1e-6)
+        w0, w1, valid, denom = _edge_weights(t, pxf, pyf, eps=1e-6)  # (P, C)
         margin = jnp.minimum(jnp.minimum(w0, w1), 1.0 - w0 - w1)
         # normalize the margin to ~pixel units so `sharpness` is in px^-1.
         # sqrt must see a nonzero argument even for masked (degenerate/pad)
@@ -243,11 +256,11 @@ def soft_silhouette(
         # cannot remove a NaN that the backward already produced (the
         # where-grad trap) — so clamp BEFORE the sqrt.
         safe = jnp.where(valid, jnp.abs(denom), 1.0)
-        scale = jnp.sqrt(safe)[:, None, None]
+        scale = jnp.sqrt(safe)[None, :]
         cov = jax.nn.sigmoid(sharpness * margin * scale)
-        cov = jnp.where(valid[:, None, None], cov, 0.0)
-        log_miss = log_miss + jnp.sum(jnp.log1p(-cov * (1 - 1e-6)), axis=0)
+        cov = jnp.where(valid[None, :], cov, 0.0)
+        log_miss = log_miss + jnp.sum(jnp.log1p(-cov * (1 - 1e-6)), axis=1)
         return log_miss, None
 
-    log_miss, _ = jax.lax.scan(step, jnp.zeros((H, W), jnp.float32), tri)
-    return 1.0 - jnp.exp(log_miss)
+    log_miss, _ = jax.lax.scan(step, jnp.zeros((H * W,), jnp.float32), tri)
+    return (1.0 - jnp.exp(log_miss)).reshape(H, W)
