@@ -7,6 +7,7 @@ overlay + silhouettes with no host round-trip.
 
 from human_3d_reconstruction_tpu.viz.device_raster import (
     overlay_meshes_device,
+    rasterize_depth,
     rasterize_scene,
     silhouette,
     soft_silhouette,
@@ -23,6 +24,7 @@ __all__ = [
     "overlay_meshes",
     "overlay_meshes_device",
     "project_verts_to_pixels",
+    "rasterize_depth",
     "rasterize_scene",
     "rasterizer_backend",
     "silhouette",

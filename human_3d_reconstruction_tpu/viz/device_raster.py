@@ -208,16 +208,50 @@ def overlay_meshes_device(
     return out
 
 
+@partial(jax.jit, static_argnames=("height", "width", "chunk"))
+def rasterize_depth(
+    verts_px: jax.Array,
+    faces: jax.Array,
+    height: int,
+    width: int,
+    chunk: int = 0,
+) -> jax.Array:
+    """Depth-only rasterization: (H, W) min-z buffer, +inf where empty.
+
+    ~3x faster than `rasterize_scene` (86.6 vs 202-270 ms at 480p/27.5k
+    tris on v5e): without the shade/color payload there is no argmin or
+    gather — the whole chunk reduces to one lane-axis `min`. Use for
+    silhouettes, visibility queries, and depth maps."""
+    H, W = height, width
+    C = chunk if chunk else _auto_chunk(faces.shape[0])
+    tri = _pad_to_chunks(verts_px[faces], C)
+    pxf, pyf = _pixel_rows(H, W)
+
+    def step(zbuf, t):
+        w0, w1, valid, _ = _edge_weights(t, pxf, pyf, eps=1e-12)
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid[None, :]
+        z = (
+            w0 * t[:, 0, 2][None, :]
+            + w1 * t[:, 1, 2][None, :]
+            + w2 * t[:, 2, 2][None, :]
+        )
+        z = jnp.where(inside & jnp.isfinite(z), z, jnp.inf)
+        return jnp.minimum(zbuf, z.min(axis=1)), None
+
+    zbuf, _ = jax.lax.scan(
+        step, jnp.full((H * W,), jnp.inf, jnp.float32), tri
+    )
+    return zbuf.reshape(H, W)
+
+
 def silhouette(
     verts_px: jax.Array, faces: jax.Array, height: int, width: int, chunk: int = 0
 ) -> jax.Array:
-    """Hard binary silhouette mask (H, W) of one mesh."""
-    shade = jnp.ones((faces.shape[0],), jnp.float32)
-    col = jnp.ones((faces.shape[0], 3), jnp.float32)
-    _, _, _, hit = rasterize_scene(
-        verts_px, faces, shade, col, height, width, chunk=chunk
-    )
-    return hit.astype(jnp.float32)
+    """Hard binary silhouette mask (H, W) of one mesh (depth-only path)."""
+    return jnp.isfinite(
+        rasterize_depth(verts_px, faces, height, width, chunk=chunk)
+    ).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk"))

@@ -155,3 +155,34 @@ class TestRasterizeScene:
         assert np.all(np.isfinite(np.asarray(g)))
         # the loss must pull vertices toward the shifted target (+x)
         assert float(g[:, 0].sum()) < 0.0
+
+    def test_depth_only_matches_full_pipeline(self, random_mesh):
+        """rasterize_depth == rasterize_scene's depth buffer."""
+        from human_3d_reconstruction_tpu.viz.device_raster import rasterize_depth
+
+        verts, faces = random_mesh
+        shade = lambert_shade(jnp.asarray(verts), jnp.asarray(faces))
+        col = jnp.ones((len(faces), 3), jnp.float32)
+        zfull, *_ = rasterize_scene(
+            jnp.asarray(verts), jnp.asarray(faces), shade, col, 64, 64
+        )
+        zonly = rasterize_depth(jnp.asarray(verts), jnp.asarray(faces), 64, 64)
+        a, b = np.asarray(zfull), np.asarray(zonly)
+        assert (np.isfinite(a) == np.isfinite(b)).all()
+        np.testing.assert_allclose(
+            a[np.isfinite(a)], b[np.isfinite(b)], atol=1e-5
+        )
+
+    def test_exported_session_empty_boxes(self):
+        """(regression) ExportedRecoverySession.recover([]) returns []."""
+        # guarded in serving_export.recover; no artifact needed to assert
+        # the early return path via a stub
+        from human_3d_reconstruction_tpu.serving_export import (
+            ExportedRecoverySession,
+        )
+
+        srv = ExportedRecoverySession.__new__(ExportedRecoverySession)
+        srv.frame_shape = (8, 8)
+        srv.buckets = (1,)
+        out = srv.recover(np.zeros((8, 8, 3), np.float32), [])
+        assert out == []
