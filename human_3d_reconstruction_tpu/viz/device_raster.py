@@ -221,9 +221,13 @@ def rasterize_depth(
     ~3x faster than `rasterize_scene` (86.6 vs 202-270 ms at 480p/27.5k
     tris on v5e): without the shade/color payload there is no argmin or
     gather — the whole chunk reduces to one lane-axis `min`. Use for
-    silhouettes, visibility queries, and depth maps."""
+    silhouettes, visibility queries, and depth maps.
+
+    Default chunk is 512, NOT the payload path's _auto_chunk: with only a
+    cheap min per chunk the scan-overhead/locality trade moves (measured:
+    86.6 ms @512 vs 158.6 ms @2048 on the 480p workload)."""
     H, W = height, width
-    C = chunk if chunk else _auto_chunk(faces.shape[0])
+    C = chunk if chunk else min(512, _auto_chunk(faces.shape[0]))
     tri = _pad_to_chunks(verts_px[faces], C)
     pxf, pyf = _pixel_rows(H, W)
 
