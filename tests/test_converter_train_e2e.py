@@ -15,9 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from human_3d_reconstruction_tpu.cli.convert_annotations import (
+    convert_3dhp,
     convert_coco,
     convert_h36m,
     convert_lsp,
+    convert_mosh,
     convert_mpii,
 )
 from human_3d_reconstruction_tpu.data.datasets import MixedLoader, make_dataset
@@ -160,3 +162,80 @@ class TestConverterToTraining:
         rec = ds[0]
         assert float(rec.has_3d) == 1.0 and float(rec.has_smpl) == 1.0
         _one_train_step(train_setup, ds, "h36m")
+
+    def test_3dhp_mat_to_train_step(self, tmp_path, rng, train_setup):
+        """3DHP ships annot.mat with per-camera cells: annot2 (F, 56) px,
+        annot3 (F, 84) camera-frame mm, 28 joints per frame."""
+        from scipy.io import savemat
+
+        F, CAMS = 3, 2
+        annot2 = np.empty((CAMS, 1), object)
+        annot3 = np.empty((CAMS, 1), object)
+        for c in range(CAMS):
+            annot2[c, 0] = rng.uniform(5, 59, (F, 56))
+            annot3[c, 0] = rng.normal(scale=300.0, size=(F, 84))  # mm
+        savemat(tmp_path / "annot.mat", {"annot2": annot2, "annot3": annot3})
+        n = convert_3dhp(str(tmp_path / "annot.mat"), str(tmp_path / "3dhp.npz"))
+        assert n == F * CAMS
+        z = np.load(tmp_path / "3dhp.npz")
+        assert z["keypoints"].shape == (n, 17, 3)
+        assert z["joints3d"].shape == (n, 17, 3)
+        # mm -> m conversion happened
+        assert np.abs(z["joints3d"]).max() < 3.0
+        _write_images(tmp_path, [str(p) for p in z["image_paths"]], rng)
+        ds = make_dataset("mpi_inf_3dhp", tmp_path / "3dhp.npz")
+        rec = ds[0]
+        assert float(rec.has_3d) == 1.0 and float(rec.has_smpl) == 0.0
+        _one_train_step(train_setup, ds, "mpi_inf_3dhp")
+
+    def test_mosh_raw_to_train_step(self, tmp_path, rng, train_setup, smpl_model):
+        """Raw mosh dumps: a dir of per-sequence pickles (chumpy-era keys,
+        per-sequence single beta) + an npz variant -> MoshParamSource ->
+        the real-pose feed of one adversarial train step."""
+        import pickle
+
+        from human_3d_reconstruction_tpu.data.datasets import MoshParamSource
+
+        d = tmp_path / "mosh" / "subject"
+        d.mkdir(parents=True)
+        with open(d / "seq1.pkl", "wb") as f:
+            pickle.dump(
+                {
+                    "new_poses": rng.normal(scale=0.3, size=(4, 72)).astype(np.float64),
+                    "betas": rng.normal(size=(10,)).astype(np.float64),
+                },
+                f,
+            )
+        # SMPL-H-style dump: wider pose rows, per-frame betas.
+        np.savez(
+            d / "seq2.npz",
+            poses=rng.normal(scale=0.3, size=(3, 156)).astype(np.float32),
+            betas=rng.normal(size=(3, 16)).astype(np.float32),
+        )
+        n = convert_mosh(str(tmp_path / "mosh"), str(tmp_path / "mosh.npz"))
+        assert n == 7
+        src = MoshParamSource.from_npz(tmp_path / "mosh.npz")
+        assert src.thetas.shape == (7, 72) and src.betas.shape == (7, 10)
+        mt, mb = src.sample(np.random.default_rng(0), BATCH)
+
+        step_fn, gen, disc, smpl_params = train_setup
+        from human_3d_reconstruction_tpu.data.datasets import SyntheticImageDataset
+
+        ds = SyntheticImageDataset(smpl_model, n=8, frame_hw=HW, seed=3)
+        from human_3d_reconstruction_tpu.data.datasets import MixedLoader
+
+        batch = next(iter(MixedLoader([ds], batch_size=BATCH, seed=0)))
+        batch_dict = {
+            f: jnp.asarray(getattr(batch, f))
+            for f in (
+                "images", "centers", "scales", "kp2d", "joints3d",
+                "has_3d", "theta", "beta", "has_smpl",
+            )
+        }
+        new_gen, _, metrics = step_fn(
+            gen, disc, smpl_params, batch_dict,
+            jnp.asarray(mt), jnp.asarray(mb), jax.random.key(4),
+        )
+        assert int(new_gen.step) == 1
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
