@@ -26,7 +26,16 @@ def build_smpl(config: RunConfig):
 
 
 def build_model(config: RunConfig) -> HMRModel:
-    return HMRModel(config=config.train.hmr)
+    """Model for inference CLIs; restores the persisted dataset-derived IEF
+    seed (checkpoint_dir/mean_params.npz, written by training with
+    --mean_params=mosh) so train and serve decode from the same mean."""
+    from human_3d_reconstruction_tpu.smpl.mean_params import maybe_load_mean_params
+
+    mean = maybe_load_mean_params(config.checkpoint_dir)
+    return HMRModel(
+        config=config.train.hmr,
+        mean_params=None if mean is None else jnp.asarray(mean),
+    )
 
 
 def init_variables(config: RunConfig, model: HMRModel) -> Any:
@@ -47,7 +56,7 @@ def apply_serving_rewrite(model: HMRModel, variables: Any) -> tuple[HMRModel, An
     from human_3d_reconstruction_tpu.models.hmr import optimize_for_serving
 
     new_cfg, new_vars = optimize_for_serving(cfg, variables)
-    return HMRModel(config=new_cfg), new_vars
+    return HMRModel(config=new_cfg, mean_params=model.mean_params), new_vars
 
 
 def smpl_device_params(config: RunConfig, smpl_model) -> dict:

@@ -92,6 +92,15 @@ def main(argv: list[str]) -> None:
         mosh = MoshParamSource.synthetic(np.random.default_rng(config.seed))
     mosh_rng = np.random.default_rng(config.seed + 1)
 
+    # IEF seed: dataset-derived mean over the mosh pose pool (reference's
+    # mean_theta file), persisted next to checkpoints for inference restore.
+    from human_3d_reconstruction_tpu.smpl.mean_params import resolve_mean_params
+
+    mean_params = resolve_mean_params(config.mean_params, config.checkpoint_dir, mosh)
+    if mean_params is not None:
+        echo(f"IEF seed: mean over {len(mosh.thetas)} mosh poses "
+             f"(|theta|={np.linalg.norm(mean_params[:72]):.3f})")
+
     # states + step
     train_cfg = config.train
     if train_cfg.crop_size != config.data.crop_size:
@@ -99,7 +108,8 @@ def main(argv: list[str]) -> None:
 
         train_cfg = dataclasses.replace(train_cfg, crop_size=config.data.crop_size)
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
-        train_cfg, jax.random.key(config.seed), smpl_model.as_dict()
+        train_cfg, jax.random.key(config.seed), smpl_model.as_dict(),
+        mean_params=mean_params,
     )
     smpl_apply = None
     if config.smpl_path == "pallas":

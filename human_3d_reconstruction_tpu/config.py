@@ -54,6 +54,10 @@ class RunConfig:
     smpl_model_path: Optional[str] = None  # None = synthetic model
     checkpoint_dir: str = "checkpoints"
     smpl_path: str = "pallas"  # 'xla' | 'pallas' decode path
+    # IEF seed: '' = neutral mean; 'mosh' = derive from the mosh pose pool
+    # and persist to <checkpoint_dir>/mean_params.npz; else a path to a
+    # previously saved npz. Inference CLIs auto-restore the persisted file.
+    mean_params: str = ""
     debug_nans: bool = False   # dev mode: fail fast on NaNs (SURVEY sec. 5)
     fit_steps: int = 0         # >0: SMPLify-style test-time refinement steps
     seed: int = 0

@@ -126,7 +126,9 @@ def optimize_for_serving(
     if not config.encoder.startswith("resnet"):
         raise ValueError(f"serving rewrite supports resnet encoders, got {config.encoder}")
     if fused_stages is None:
-        fused_stages = False
+        # Preserve an explicit opt-in on the incoming config; the measured
+        # default (ships as HMRConfig.fused_stages=False) stays off.
+        fused_stages = config.fused_stages
     if fused_stages and _RESNET_VARIANTS.get(config.encoder, (None, None))[1] != "bottleneck":
         raise ValueError("fused_stages requires a bottleneck encoder (resnet50/101)")
     if config.encoder_fold_bn:
