@@ -92,9 +92,13 @@ def make_recover_mesh(model: HMRModel, smpl_path: str = "xla"):
 
 
 def _preprocess_dtype_for(model: HMRModel, override=None):
-    """bf16 crops for bf16 encoders (the encoder's first conv rounds its
-    input to bf16 anyway, so exact f32 crops buy nothing there — measured
-    0.64 -> 0.40 ms @B=128); f32 exact path otherwise."""
+    """bf16 crops for bf16 encoders; f32 exact path otherwise.
+
+    The bf16 crop path's worst-case pixel error is ~2.5e-2 of [-1, 1]
+    (pinned in tests/test_preprocess.py) — larger than one bf16 input
+    rounding, but the end-to-end mm-scale drift of the bf16 serving config
+    is what's actually pinned (tpu_checks metric-level parity). Measured
+    0.64 -> 0.40 ms @B=128. Pass `override` to force either dtype."""
     import jax.numpy as jnp
 
     if override is not None:

@@ -167,8 +167,11 @@ def main(argv: list[str]) -> None:
         if boxes.ndim != 2 or boxes.shape[1] != 3:
             raise SystemExit(f"error: --boxes shape {boxes.shape} != (N, 3)")
 
+    # Append-per-frame (truncate once up front): every completed frame's row
+    # hits disk even if a later frame raises (unreadable frame, device
+    # error) — no handle left open across the loop, no buffered rows lost.
     log_path = out_dir / "params.jsonl"
-    log = open(log_path, "w")
+    log_path.write_text("")
     max_frames = int(own.get("max_frames", 10**9))
     n_frames = 0
     faces = np.asarray(smpl_model.faces)
@@ -230,18 +233,19 @@ def main(argv: list[str]) -> None:
             str(frame_path),
             cv2.cvtColor(overlay.clip(0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
         )
-        log.write(
-            json.dumps(
-                {
-                    "frame": idx,
-                    "boxes": boxes.tolist(),
-                    "theta": [np.asarray(r.theta).tolist() for r in results],
-                    "beta": [np.asarray(r.beta).tolist() for r in results],
-                    "cam": [np.asarray(r.cam).tolist() for r in results],
-                }
+        with open(log_path, "a") as log:
+            log.write(
+                json.dumps(
+                    {
+                        "frame": idx,
+                        "boxes": boxes.tolist(),
+                        "theta": [np.asarray(r.theta).tolist() for r in results],
+                        "beta": [np.asarray(r.beta).tolist() for r in results],
+                        "cam": [np.asarray(r.cam).tolist() for r in results],
+                    }
+                )
+                + "\n"
             )
-            + "\n"
-        )
         n_frames += 1
 
         # Track: next frame's crops follow this frame's recovered keypoints
@@ -259,7 +263,6 @@ def main(argv: list[str]) -> None:
         if idx % 10 == 0:
             echo(f"frame {idx}: {N} person(s), box0 scale {boxes[0, 2]:.0f}")
 
-    log.close()
     echo(f"wrote {n_frames} overlay frames + {log_path}")
     print(
         json.dumps(

@@ -179,10 +179,13 @@ def separable_crop(
     matches `affine_crop` with rot=0 (same map, same zero padding).
 
     dtype=bfloat16 is the serving fast path: single-pass bf16 matmuls and
-    bf16 intermediates. The resulting pixel error (~1e-3 of the [-1, 1]
-    range) is below the bf16 encoder's own input rounding, so it is only
-    used when the consumer is a bf16 encoder; f32 keeps HIGH-precision
-    (3-pass bf16) accumulation and stays the exact/training path.
+    bf16 intermediates. Measured worst-case pixel error vs the f32 path is
+    ~2.5e-2 of the [-1, 1] range (pinned in tests/test_preprocess.py —
+    interp sums of bf16-rounded pixels, ~10x one bf16 input rounding), so
+    it is only used when the consumer is a bf16 encoder, whose mm-scale
+    output drift is separately pinned at the metric level (tpu_checks);
+    f32 keeps HIGH-precision (3-pass bf16) accumulation and stays the
+    exact/training path.
     """
     fast = dtype == jnp.bfloat16
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGH
