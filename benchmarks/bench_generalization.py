@@ -1,0 +1,243 @@
+"""Generalization run on the rendered synthetic protocol (VERDICT r2 item 2).
+
+Train/val split with DISJOINT pose/shape draws (different RNG seeds over a
+continuous distribution — the probability of a shared pose is 0), images
+rendered deterministically FROM the poses (`render_skeleton=True`), so a
+low val MPJPE can only come from learning the image->pose map, not from
+memorizing frames. Augmentation is ON (flip + rotation + scale jitter),
+exercising the round-3 GT-theta transform fix; the adversarial prior trains
+live against the train split's own pose pool; the IEF seed is the
+dataset-derived mean (smpl/mean_params.py).
+
+Usage (real TPU; ~10 min at the defaults):
+    python benchmarks/bench_generalization.py \
+        --steps 6000 --train_size 4096 --val_size 512 --batch 64 \
+        --eval_every 400 --out /tmp/gen_run
+
+Writes <out>/log.jsonl (one row per eval point) and prints a summary JSON
+line; stops early when val MPJPE hasn't improved by >0.5 mm for --patience
+evals (plateau).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_size", type=int, default=4096)
+    ap.add_argument("--val_size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--eval_every", type=int, default=400)
+    ap.add_argument("--patience", type=int, default=4)
+    ap.add_argument("--crop", type=int, default=224)
+    ap.add_argument("--frame", type=int, default=256)
+    ap.add_argument("--g_lr", type=float, default=1e-4)
+    ap.add_argument("--encoder_dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--smpl", choices=["xla", "pallas"], default="pallas")
+    ap.add_argument("--no_adversarial", action="store_true")
+    ap.add_argument("--no_aug", action="store_true")
+    ap.add_argument("--echo", type=int, default=1, help="data echo factor")
+    ap.add_argument("--out", default="/tmp/gen_run")
+    ap.add_argument("--seed_train", type=int, default=0)
+    ap.add_argument("--seed_val", type=int, default=7777)
+    args = ap.parse_args()
+
+    from human_3d_reconstruction_tpu.api import recover_mesh_fn
+    from human_3d_reconstruction_tpu.data.datasets import (
+        MixedLoader,
+        MoshParamSource,
+        SyntheticImageDataset,
+    )
+    from human_3d_reconstruction_tpu.data.prefetch import device_prefetch, echo_batches
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+    from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+    from human_3d_reconstruction_tpu.eval.metrics import mpjpe, pa_mpjpe
+    from human_3d_reconstruction_tpu.models.hmr import HMRConfig
+    from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model
+    from human_3d_reconstruction_tpu.smpl.mean_params import mean_params_from_pool
+    from human_3d_reconstruction_tpu.train.trainer import (
+        TrainConfig,
+        create_states,
+        make_jitted_train_step,
+    )
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log_path = out_dir / "log.jsonl"
+    log_path.write_text("")
+
+    def echo(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    echo(f"devices: {jax.devices()}")
+    smpl_model = synthetic_smpl_model(seed=0)
+    frame_hw = (args.frame, args.frame)
+
+    t0 = time.perf_counter()
+    train_ds = SyntheticImageDataset(
+        smpl_model, n=args.train_size, frame_hw=frame_hw,
+        seed=args.seed_train, render_skeleton=True,
+    )
+    val_ds = SyntheticImageDataset(
+        smpl_model, n=args.val_size, frame_hw=frame_hw,
+        seed=args.seed_val, render_skeleton=True,
+    )
+    # Disjointness sanity: nearest train pose to each of a few val poses.
+    d = np.linalg.norm(
+        train_ds.thetas[None, :64] - val_ds.thetas[:8, None], axis=-1
+    ).min()
+    assert d > 1e-3, f"val poses overlap train poses ({d})"
+    echo(f"datasets built in {time.perf_counter() - t0:.1f}s; "
+         f"min val-train theta distance {d:.3f}")
+
+    dtype = jnp.bfloat16 if args.encoder_dtype == "bf16" else jnp.float32
+    config = TrainConfig(
+        crop_size=args.crop,
+        g_lr=args.g_lr,
+        use_adversarial=not args.no_adversarial,
+        aug_rot_max=0.0 if args.no_aug else 0.35,
+        aug_scale_jitter=0.0 if args.no_aug else 0.15,
+        aug_flip=not args.no_aug,
+        hmr=HMRConfig(encoder_dtype=dtype),
+    )
+    mean = mean_params_from_pool(train_ds.thetas, train_ds.betas)
+    gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+        config, jax.random.key(0), smpl_model.as_dict(), mean_params=mean
+    )
+    smpl_apply = None
+    smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+    if args.smpl == "pallas":
+        from human_3d_reconstruction_tpu.ops import prepare_fused_smpl
+        from human_3d_reconstruction_tpu.ops.fused_smpl import smpl_forward_fused
+
+        prepared = prepare_fused_smpl(smpl_model.as_dict())
+        smpl_apply = lambda _, t, b: smpl_forward_fused(prepared, t, b)
+    step_fn = make_jitted_train_step(
+        config, model, disc_mod, g_tx, d_tx, smpl_apply=smpl_apply
+    )
+
+    mosh = MoshParamSource(train_ds.thetas, train_ds.betas)  # train split ONLY
+    mosh_rng = np.random.default_rng(123)
+
+    loader = iter(MixedLoader([train_ds], args.batch, seed=0, num_workers=2))
+
+    def to_dict(b):
+        return {
+            "images": np.clip(np.rint(b.images), 0, 255).astype(np.uint8),
+            "centers": b.centers, "scales": b.scales, "kp2d": b.kp2d,
+            "joints3d": b.joints3d, "has_3d": b.has_3d,
+            "theta": b.theta, "beta": b.beta, "has_smpl": b.has_smpl,
+        }
+
+    batches = device_prefetch(map(to_dict, loader))
+    if args.echo > 1:
+        batches = echo_batches(batches, args.echo)
+
+    # --- one-program val scorer (images stream as uint8) ----------------
+    @jax.jit
+    def predict_and_score(variables, images_u8, centers, scales, gt):
+        crops = preprocess_crops(
+            images_u8.astype(jnp.float32), centers, scales, out_size=args.crop
+        )
+        out = recover_mesh_fn(model, variables, smpl_params, crops)
+        pred = out.eval_joints3d[:, :NUM_KP]
+
+        def one(p, g):
+            return mpjpe(p[None], g[None]) * 1000.0, pa_mpjpe(p[None], g[None]) * 1000.0
+
+        return jax.vmap(one)(pred, gt)
+
+    def eval_split(ds, n, variables):
+        es, eps = [], []
+        for start in range(0, n, args.batch):
+            recs = [ds[i] for i in range(start, start + args.batch)]
+            e, ep = jax.device_get(
+                predict_and_score(
+                    variables,
+                    jnp.asarray(np.stack([np.clip(np.rint(r.image), 0, 255).astype(np.uint8) for r in recs])),
+                    jnp.asarray(np.stack([r.center for r in recs])),
+                    jnp.asarray(np.stack([r.scale for r in recs])),
+                    jnp.asarray(np.stack([r.joints3d for r in recs])),
+                )
+            )
+            es.append(e); eps.append(ep)
+        return float(np.mean(np.concatenate(es))), float(np.mean(np.concatenate(eps)))
+
+    train_eval_n = min(args.val_size, args.train_size)
+
+    best = float("inf")
+    best_step = 0
+    since_best = 0
+    rng_key = jax.random.key(42)
+    t_train = time.perf_counter()
+    imgs_done = 0
+    step = 0
+    while step < args.steps:
+        batch = next(batches)
+        mt, mb = mosh.sample(mosh_rng, args.batch)
+        gen, disc, metrics = step_fn(
+            gen, disc, smpl_params, batch, jnp.asarray(mt), jnp.asarray(mb), rng_key
+        )
+        step += 1
+        imgs_done += args.batch
+
+        if step % args.eval_every == 0 or step == args.steps:
+            m = {k: float(v) for k, v in metrics.items()}  # sync point
+            dt = time.perf_counter() - t_train
+            variables = {"params": gen.params, "batch_stats": gen.batch_stats}
+            val_mpjpe, val_pa = eval_split(val_ds, args.val_size, variables)
+            tr_mpjpe, tr_pa = eval_split(train_ds, train_eval_n, variables)
+            row = {
+                "step": step,
+                "img_per_sec": imgs_done / dt if dt > 0 else 0.0,
+                "loss_g": m["loss_g"], "loss_kp2d": m["loss_kp2d"],
+                "loss_3d": m["loss_3d"], "loss_param": m["loss_param"],
+                **({"loss_d": m["loss_d"]} if "loss_d" in m else {}),
+                "train_mpjpe_mm": tr_mpjpe, "train_pa_mpjpe_mm": tr_pa,
+                "val_mpjpe_mm": val_mpjpe, "val_pa_mpjpe_mm": val_pa,
+            }
+            with open(log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            echo(f"step {step}: train {tr_mpjpe:.1f} mm | VAL {val_mpjpe:.1f} mm "
+                 f"(PA {val_pa:.1f}) | {row['img_per_sec']:.0f} img/s")
+            t_train = time.perf_counter()
+            imgs_done = 0
+
+            if val_mpjpe < best - 0.5:
+                best, best_step, since_best = val_mpjpe, step, 0
+            else:
+                since_best += 1
+                if since_best >= args.patience:
+                    echo(f"plateau: no val improvement for {since_best} evals")
+                    break
+
+    summary = {
+        "best_val_mpjpe_mm": best,
+        "best_step": best_step,
+        "final_step": step,
+        "train_size": args.train_size,
+        "val_size": args.val_size,
+        "aug": not args.no_aug,
+        "adversarial": not args.no_adversarial,
+        "encoder_dtype": args.encoder_dtype,
+        "log": str(log_path),
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

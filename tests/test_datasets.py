@@ -151,3 +151,46 @@ class TestAnnotationDataset:
         assert rec.image.shape == (60, 80, 3)
         assert rec.kp2d.shape == (14, 3)
         assert float(rec.has_3d) == 0.0 and float(rec.has_smpl) == 0.0
+
+
+class TestRenderedSyntheticProtocol:
+    """render_skeleton=True makes image -> pose learnable (VERDICT r2 #2)."""
+
+    def test_blobs_land_on_projected_joints(self, smpl_model):
+        from human_3d_reconstruction_tpu.data.datasets import (
+            SyntheticImageDataset,
+            _joint_palette,
+        )
+
+        ds = SyntheticImageDataset(
+            smpl_model, n=4, frame_hw=(128, 128), seed=5, render_skeleton=True
+        )
+        pal = _joint_palette()
+        rec = ds[2]
+        img = rec.image - rec.image.mean(axis=(0, 1))
+        # Matched-filter check: each in-frame joint's color signature must
+        # respond strongly AT the projected keypoint relative to background
+        # (14 signatures can't be orthogonal in RGB — joint identity also
+        # lives in spatial/kinematic context, like real imagery — so we
+        # assert local detectability, not global argmax uniqueness).
+        for k in range(14):
+            gx, gy = ds.kp2d_px[2, k]
+            if not (4 <= gx < 124 and 4 <= gy < 124):
+                continue
+            resp = img @ pal[k]
+            at_joint = resp[int(gy), int(gx)]
+            assert at_joint > resp.mean() + 2.0 * resp.std(), (
+                k, at_joint, resp.mean(), resp.std(),
+            )
+
+    def test_deterministic_and_distinct_across_seeds(self, smpl_model):
+        from human_3d_reconstruction_tpu.data.datasets import SyntheticImageDataset
+
+        a = SyntheticImageDataset(smpl_model, n=2, frame_hw=(64, 64), seed=1, render_skeleton=True)
+        b = SyntheticImageDataset(smpl_model, n=2, frame_hw=(64, 64), seed=1, render_skeleton=True)
+        np.testing.assert_array_equal(a[0].image, b[0].image)
+        # A different seed draws different poses -> different frames and
+        # a disjoint pose set (the train/val split property).
+        c = SyntheticImageDataset(smpl_model, n=2, frame_hw=(64, 64), seed=2, render_skeleton=True)
+        assert np.abs(a[0].theta - c[0].theta).max() > 1e-3
+        assert np.abs(a[0].image - c[0].image).max() > 1.0
