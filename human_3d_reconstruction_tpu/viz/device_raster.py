@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 
 def _auto_chunk(num_faces: int) -> int:
-    """Triangle-chunk size targeting ~16 scan steps.
+    """Triangle-chunk size: ~8 scan steps (ceil(F/8)), clamped to [512, 2048]
+    and rounded up to a 128-lane multiple.
 
     Measured on v5e (480p, 27.5k tris): per-step fixed overhead dominates
     small chunks — 2693 ms at the old element-budget default (C=54, 511
@@ -165,6 +166,18 @@ def rasterize_scene(
     return zbuf, shade.reshape(H, W), color.reshape(H, W, 3), jnp.isfinite(zbuf)
 
 
+def _bbox_near(t: jax.Array, pxf: jax.Array, pyf: jax.Array, r: float) -> jax.Array:
+    """(P, C) mask: pixel within `r` px of the triangle's bbox (the soft
+    path's truncation support; shared verbatim with the tiled rasterizer so
+    both paths keep/drop exactly the same (pixel, face) pairs)."""
+    xmin = t[:, :, 0].min(axis=1)[None, :] - r
+    xmax = t[:, :, 0].max(axis=1)[None, :] + r
+    ymin = t[:, :, 1].min(axis=1)[None, :] - r
+    ymax = t[:, :, 1].max(axis=1)[None, :] + r
+    px, py = pxf[:, None], pyf[:, None]
+    return (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+
+
 def lambert_shade(verts_px: jax.Array, faces: jax.Array) -> jax.Array:
     """Per-face Lambert term 0.35 + 0.65|nz| (renderer.py convention)."""
     tri = verts_px[faces]
@@ -266,6 +279,7 @@ def soft_silhouette(
     width: int,
     sharpness: float = 1.0,
     chunk: int = 0,
+    trunc_px: float = 8.0,
 ) -> jax.Array:
     """Differentiable silhouette (SoftRas-style): the device-side primitive
     for mask-supervised fitting (e.g. an IoU term in fitting.py objectives).
@@ -276,6 +290,17 @@ def soft_silhouette(
     chunks as the hard rasterizer. Gradients flow to vertex positions —
     a mask loss can pull the mesh sideways, which the hard z-buffer's
     argmin cannot.
+
+    `trunc_px` zeroes a face's coverage at pixels more than that many
+    pixels outside the face's bbox. Without it, thousands of distant faces
+    each contribute a tiny sigmoid tail that soft-ors into a spurious
+    far-field halo (measured 0.16 mask value one pixel outside a 768-face
+    sphere), and no spatial data structure could bound which faces matter
+    (sliver faces have unbounded sigmoid reach in the along-edge
+    direction). The bbox form makes the truncation EXACTLY reproducible by
+    the tiled rasterizer (viz/tiled_raster.py). Gradients live in the
+    boundary band (sigmoid(-sharpness * 0.93 * trunc_px) ~ 3e-7 at the
+    defaults for well-shaped faces) and are unaffected.
     """
     H, W = height, width
     C = chunk if chunk else _auto_chunk(faces.shape[0])
@@ -296,7 +321,8 @@ def soft_silhouette(
         safe = jnp.where(valid, jnp.abs(denom), 1.0)
         scale = jnp.sqrt(safe)[None, :]
         cov = jax.nn.sigmoid(sharpness * margin * scale)
-        cov = jnp.where(valid[None, :], cov, 0.0)
+        near = _bbox_near(t, pxf, pyf, trunc_px)
+        cov = jnp.where(valid[None, :] & near, cov, 0.0)
         log_miss = log_miss + jnp.sum(jnp.log1p(-cov * (1 - 1e-6)), axis=1)
         return log_miss, None
 

@@ -42,3 +42,39 @@ def load_obj(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
         elif line.startswith("f "):
             faces.append([int(x.split("/")[0]) - 1 for x in line.split()[1:4]])
     return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+
+
+def uv_sphere(
+    rows: int = 64, cols: int = 108, radius: float = 1.0, center=(0.0, 0.0, 0.0)
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lat/long sphere tessellation: (V, 3) verts, (F, 3) faces.
+
+    A spatially-LOCAL topology (adjacent faces share edges, triangles are
+    small), unlike the synthetic SMPL model's random-triple faces — the
+    realistic workload shape for rasterizer tests/benches: real SMPL bodies
+    have ~2-6 px triangles at 480p. rows x cols gives 2*rows*cols faces
+    (64 x 108 ~ 13.8k, one SMPL body's count).
+    """
+    th = np.linspace(0, np.pi, rows + 1)
+    ph = np.linspace(0, 2 * np.pi, cols, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    verts = np.stack(
+        [
+            radius * np.sin(T) * np.cos(P),
+            radius * np.sin(T) * np.sin(P),
+            radius * np.cos(T),
+        ],
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32) + np.asarray(center, np.float32)
+
+    def vid(r, c):
+        return r * cols + (c % cols)
+
+    faces = []
+    for r in range(rows):
+        for c in range(cols):
+            a, b = vid(r, c), vid(r, c + 1)
+            d, e = vid(r + 1, c), vid(r + 1, c + 1)
+            faces.append([a, d, b])
+            faces.append([b, d, e])
+    return verts, np.asarray(faces, np.int32)
