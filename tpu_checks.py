@@ -10,6 +10,11 @@ Checks:
   5. batch1_latency_ms   — p50 single-image program latency sanity
   6. export_roundtrip    — jax.export artifact (Pallas custom call baked in)
                            replays on-chip == live session
+  7. bf16 metric parity  — eval-protocol MPJPE under the f32 graph vs the
+                           bf16+rewrite serving graph vs the exported
+                           artifact, same weights: DeltaMPJPE < 1 mm
+                           (VERDICT r2 item 4 — the raw 1.3e-3 m vert gap
+                           stated at the metric level that matters)
 
 Run:  timeout 900 python tpu_checks.py      (keep the CLAUDE.md tunnel rules:
 one TPU process at a time, prefer timeout over hard kills)
@@ -143,6 +148,59 @@ def main() -> None:
         np.abs(live.verts - loaded["verts"]).max()
     )
 
+    # 7: bf16-serving parity at the METRIC level. Same weights, three
+    # configs, one synthetic eval stream (fixed seed): f32 canonical graph,
+    # bf16 + serving rewrite, and the exported bf16 artifact. What ships is
+    # the claim users need: the throughput config moves eval MPJPE by far
+    # less than a millimetre.
+    from functools import partial
+
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+    from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+    from human_3d_reconstruction_tpu.eval.protocol import (
+        run_protocol,
+        synthetic_eval_batches,
+    )
+    from human_3d_reconstruction_tpu.api import recover_mesh_fn
+
+    f32_model = HMRModel(config=HMRConfig(encoder_dtype=jnp.float32))
+
+    def make_predict(mdl, mdl_vars):
+        @jax.jit
+        def predict(images, centers, scales):
+            crops = preprocess_crops(images, centers, scales, out_size=224)
+            out = recover_mesh_fn(mdl, mdl_vars, prepared, crops, smpl_path="pallas")
+            return out.eval_joints3d[:, :NUM_KP]
+
+        return lambda i, c, s: predict(
+            jnp.asarray(i), jnp.asarray(c), jnp.asarray(s)
+        )
+
+    eval_stream = partial(
+        synthetic_eval_batches, smpl_model, num_batches=4, batch_size=32, seed=11
+    )
+    r_f32 = run_protocol(make_predict(f32_model, variables), eval_stream())
+    r_bf16 = run_protocol(make_predict(s_model, s_vars), eval_stream())
+    results["eval_mpjpe_f32_mm"] = round(r_f32.mpjpe_mm, 3)
+    results["eval_mpjpe_bf16_mm"] = round(r_bf16.mpjpe_mm, 3)
+    results["bf16_vs_f32_mpjpe_mm"] = round(abs(r_bf16.mpjpe_mm - r_f32.mpjpe_mm), 4)
+
+    with tempfile.TemporaryDirectory() as td:
+        art = export_recovery_artifact(session, td, frame_shape=(256, 256), buckets=(1,))
+        exported = ExportedRecoverySession(art)
+
+        def predict_exported(images, centers, scales):
+            preds = []
+            for i in range(len(images)):
+                boxes = np.asarray(
+                    [[centers[i, 0], centers[i, 1], scales[i]]], np.float32
+                )
+                preds.append(exported.recover(images[i], boxes)[0]["eval_joints3d"][:NUM_KP])
+            return jnp.asarray(np.stack(preds))
+
+        r_exp = run_protocol(predict_exported, eval_stream())
+    results["export_vs_bf16_mpjpe_mm"] = round(abs(r_exp.mpjpe_mm - r_bf16.mpjpe_mm), 4)
+
     # Bars.
     bars = {
         "pallas_vs_xla_fwd_m": 2e-5,
@@ -159,6 +217,10 @@ def main() -> None:
         # this bar asserts the Pallas custom call replays on-chip at bf16
         # fidelity.
         "export_roundtrip_m": 5e-3,
+        # Metric-level parity: the bf16 serving config and its exported
+        # artifact must sit within 1 mm of the f32 graph's eval MPJPE.
+        "bf16_vs_f32_mpjpe_mm": 1.0,
+        "export_vs_bf16_mpjpe_mm": 1.0,
     }
     for key, bar in bars.items():
         if results[key] > bar:
