@@ -58,7 +58,6 @@ def main() -> None:
 
     from human_3d_reconstruction_tpu.api import recover_mesh_fn
     from human_3d_reconstruction_tpu.data.datasets import (
-        MixedLoader,
         MoshParamSource,
         SyntheticImageDataset,
     )
@@ -133,17 +132,43 @@ def main() -> None:
     mosh = MoshParamSource(train_ds.thetas, train_ds.betas)  # train split ONLY
     mosh_rng = np.random.default_rng(123)
 
-    loader = iter(MixedLoader([train_ds], args.batch, seed=0, num_workers=2))
+    # This host has ONE core: per-batch float32 collate + uint8 cast would
+    # cap throughput ~10x below the device step. Pre-render the whole train
+    # split into a uint8 bank once (it IS the epoch — images are a pure
+    # function of the pose), then batches are one fancy-index memcpy.
+    t0 = time.perf_counter()
+    bank = np.stack(
+        [np.clip(np.rint(train_ds[i].image), 0, 255).astype(np.uint8)
+         for i in range(args.train_size)]
+    )
+    kp_bank = np.stack([
+        np.concatenate(
+            [train_ds.kp2d_px[i], np.ones((train_ds.kp2d_px.shape[1], 1), np.float32)],
+            axis=1,
+        )
+        for i in range(args.train_size)
+    ])
+    echo(f"rendered {args.train_size}-frame uint8 bank "
+         f"({bank.nbytes / 1e9:.1f} GB) in {time.perf_counter() - t0:.0f}s")
 
-    def to_dict(b):
-        return {
-            "images": np.clip(np.rint(b.images), 0, 255).astype(np.uint8),
-            "centers": b.centers, "scales": b.scales, "kp2d": b.kp2d,
-            "joints3d": b.joints3d, "has_3d": b.has_3d,
-            "theta": b.theta, "beta": b.beta, "has_smpl": b.has_smpl,
-        }
+    def batch_stream():
+        rng_b = np.random.default_rng(1)
+        ones = np.ones((args.batch,), np.float32)
+        while True:
+            idx = rng_b.integers(0, args.train_size, args.batch)
+            yield {
+                "images": bank[idx],
+                "centers": train_ds.centers[idx],
+                "scales": train_ds.scales[idx],
+                "kp2d": kp_bank[idx],
+                "joints3d": train_ds.joints3d[idx].astype(np.float32),
+                "has_3d": ones,
+                "theta": train_ds.thetas[idx],
+                "beta": train_ds.betas[idx],
+                "has_smpl": ones,
+            }
 
-    batches = device_prefetch(map(to_dict, loader))
+    batches = device_prefetch(batch_stream())
     if args.echo > 1:
         batches = echo_batches(batches, args.echo)
 

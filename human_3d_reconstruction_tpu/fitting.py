@@ -96,8 +96,16 @@ def refine_params(
                 soft_silhouette_tiled,
             )
 
+            # chunk == cap: one scan step per render. Measured on v5e
+            # (224^2, 13.8k faces, B=2, grad): cap1024/chunk256 32.7
+            # ms/step vs cap1024/chunk1024 17.8 vs cap512/chunk512 11.8 —
+            # the backward of a multi-step scan costs more than the larger
+            # single-step lattice.
             render_sil = partial(
-                soft_silhouette_tiled, cap=mask_tile_cap, fallback=False
+                soft_silhouette_tiled,
+                cap=mask_tile_cap,
+                chunk=mask_tile_cap,
+                fallback=False,
             )
         else:
             from human_3d_reconstruction_tpu.viz.device_raster import soft_silhouette
