@@ -186,7 +186,7 @@ def lambert_shade(verts_px: jax.Array, faces: jax.Array) -> jax.Array:
     return 0.35 + 0.65 * jnp.abs(nz)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk", "tiled"))
 def overlay_meshes_device(
     image: jax.Array,
     verts_px: jax.Array,
@@ -194,6 +194,7 @@ def overlay_meshes_device(
     colors: jax.Array,
     alpha: float = 0.85,
     chunk: int = 0,
+    tiled: bool = True,
 ) -> jax.Array:
     """Render P meshes over an image in one device program.
 
@@ -202,6 +203,10 @@ def overlay_meshes_device(
         verts_px: (P, V, 3) pixel-space vertices per person.
         faces: (F, 3) shared topology.
         colors: (P, 3) RGB per person.
+        tiled: route through the two-level tiled rasterizer (default —
+            46.9 vs 225.6 ms at 480p/27.5k local tris on v5e; exact:
+            overflow and non-local topologies fall back to the dense path
+            inside the program via lax.cond).
     Returns (H, W, 3). Inter-person occlusion is exact (one z-buffer),
     unlike the host path's sequential painter blending.
     """
@@ -211,9 +216,16 @@ def overlay_meshes_device(
     shade = lambert_shade(flat, all_faces)
     face_col = jnp.repeat(colors, faces.shape[0], axis=0)
     H, W = image.shape[:2]
-    _, sh, col, hit = rasterize_scene(
-        flat, all_faces, shade, face_col, H, W, chunk=chunk
-    )
+    if tiled:
+        from human_3d_reconstruction_tpu.viz.tiled_raster import rasterize_scene_tiled
+
+        _, sh, col, hit = rasterize_scene_tiled(
+            flat, all_faces, shade, face_col, H, W
+        )
+    else:
+        _, sh, col, hit = rasterize_scene(
+            flat, all_faces, shade, face_col, H, W, chunk=chunk
+        )
     mesh_rgb = col * sh[..., None]
     out = jnp.where(
         hit[..., None], (1.0 - alpha) * image + alpha * mesh_rgb, image
