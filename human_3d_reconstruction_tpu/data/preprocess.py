@@ -209,6 +209,87 @@ def separable_crop(
     return jnp.einsum("pw,owc->opc", Rx, tmp, precision=precision)
 
 
+def _shear_x(img: jax.Array, offsets: jax.Array) -> jax.Array:
+    """Per-row horizontal 1-D bilinear shift as ONE banded matmul.
+
+    img (B, S, S, C); offsets (S,) source-x shift per row (shared across
+    the batch — the batch-shared-rotation contract). out(b, y, o, c) =
+    sum_x hat(x - o - offsets[y]) img(b, y, x, c).
+    """
+    S = img.shape[1]
+    x = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 1)
+    o = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 2)
+    W = jnp.maximum(0.0, 1.0 - jnp.abs(x - o - offsets[:, None, None]))
+    return jnp.einsum("yxo,byxc->byoc", W, img, precision=jax.lax.Precision.HIGH)
+
+
+def shear_rotate(crops: jax.Array, rot: jax.Array) -> jax.Array:
+    """Rotate square crops by ONE shared angle via Paeth's 3-shear identity.
+
+    R(rot) = Shear_x(a) . Shear_y(sin rot) . Shear_x(a), a = -tan(rot/2):
+    three per-row/per-column 1-D resamples, each a banded (S, S, S) x
+    (B, S, S, C) einsum on the MXU — no gathers. Convention matches
+    `affine_crop`: output pixel o samples source R(-rot)-rotated coords
+    about the crop center (i.e. the image content rotates by `rot`).
+
+    Why: per-pixel gathers cost ~0.72 ms/image/tap on v5e (measured; 4-tap
+    bilinear = 2.9 ms/image, 87% of an aug-on train step), and the cost is
+    the gather itself — a flat-index reformulation saved only 8%. With the
+    angle shared per batch (fresh each step; the augmentation DISTRIBUTION
+    over training is unchanged, only within-batch correlation appears) the
+    shear weights are (S, S, S) constants of the step and the whole
+    rotation runs at matmul speed.
+
+    Resampling note: three chained bilinear passes blur slightly more than
+    the single-pass `affine_crop` gather; exact on piecewise-linear
+    content (any chain of bilinear resamples reproduces affine images
+    exactly — pinned in tests), geometry identical.
+    """
+    rot = jnp.asarray(rot, jnp.float32)
+    S = crops.shape[1]
+    c = (S - 1) / 2.0
+    ys = jnp.arange(S, dtype=jnp.float32) - c
+    a = -jnp.tan(rot / 2.0)
+    b = jnp.sin(rot)
+    out = _shear_x(crops, a * ys)
+    out = jnp.swapaxes(_shear_x(jnp.swapaxes(out, 1, 2), b * ys), 1, 2)
+    return _shear_x(out, a * ys)
+
+
+def rotated_separable_crop(
+    images: jax.Array,
+    centers: jax.Array,
+    scales: jax.Array,
+    rot: jax.Array,
+    flips: jax.Array,
+    out_size: int = CROP_SIZE,
+    margin: float = 1.30,
+) -> jax.Array:
+    """MXU rotation-augmentation crop: separable crop to an oversized
+    window, 3-shear rotate by the batch-shared angle, center-crop.
+
+    The window side is `ceil(out * margin)` rounded to even (margin 1.30
+    covers |rot| <= ~0.45 rad: cos + sin <= 1.296) so rotated corners stay
+    inside resampled content. Matches `affine_crop`'s geometry (same
+    source box, same zero padding) with multi-pass bilinear resampling.
+
+    Flip does not commute with rotation, and flips are per-sample while
+    the shear angle is batch-shared — so the crop runs UNflipped, and the
+    mirror is applied as an exact column reversal at the end (mirroring
+    about the crop center is an integer-index reverse).
+    """
+    S = out_size
+    Sp = int(2 * (-(-int(S * margin) // 2)))  # even oversized window
+    big = jax.vmap(partial(separable_crop, out_size=Sp))(
+        images, centers, scales * (Sp / S), jnp.zeros_like(scales)
+    )
+    rot_big = shear_rotate(big, rot)
+    lo = (Sp - S) // 2
+    out = rot_big[:, lo : lo + S, lo : lo + S, :]
+    flip_mask = (jnp.asarray(flips, jnp.float32) > 0)[:, None, None, None]
+    return jnp.where(flip_mask, out[:, :, ::-1, :], out)
+
+
 @partial(jax.jit, static_argnames=("out_size", "dtype"))
 def preprocess_crops(
     images: jax.Array,

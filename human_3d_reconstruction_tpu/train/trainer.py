@@ -27,6 +27,7 @@ import optax
 from human_3d_reconstruction_tpu.data.preprocess import (
     affine_crop,
     normalize_image,
+    rotated_separable_crop,
     separable_crop,
     transform_keypoints,
 )
@@ -53,6 +54,13 @@ class TrainConfig:
     use_adversarial: bool = True
     # Augmentation ranges (reference-style scale/rot/flip jitter).
     aug_rot_max: float = 0.0  # radians; 0 disables
+    # 'batch': ONE shared angle per step -> MXU 3-shear rotation (~1-3 ms
+    # @B=128; fresh angle each step so the aug distribution over training
+    # is unchanged). 'sample': per-sample angles -> 4-tap gather crop
+    # (measured 395 ms @B=128 — 87% of the step; see BASELINE.md r3
+    # attribution). The gather cost is the gather itself, not its
+    # formulation, hence the batch-shared default.
+    aug_rot_mode: str = "batch"
     aug_scale_jitter: float = 0.0
     aug_flip: bool = False
     hmr: HMRConfig = HMRConfig()
@@ -118,11 +126,17 @@ def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
     B = batch["images"].shape[0]
     r_rot, r_scale, r_flip = jax.random.split(rng, 3)
 
-    rots = (
-        jax.random.uniform(r_rot, (B,), minval=-config.aug_rot_max, maxval=config.aug_rot_max)
-        if config.aug_rot_max > 0
-        else jnp.zeros((B,))
-    )
+    if config.aug_rot_max > 0 and config.aug_rot_mode == "batch":
+        rot_shared = jax.random.uniform(
+            r_rot, (), minval=-config.aug_rot_max, maxval=config.aug_rot_max
+        )
+        rots = jnp.full((B,), rot_shared)
+    elif config.aug_rot_max > 0:
+        rots = jax.random.uniform(
+            r_rot, (B,), minval=-config.aug_rot_max, maxval=config.aug_rot_max
+        )
+    else:
+        rots = jnp.zeros((B,))
     scale_mult = (
         1.0
         + jax.random.uniform(
@@ -138,7 +152,18 @@ def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
     )
     scales = batch["scales"] * scale_mult
 
-    if config.aug_rot_max > 0:
+    if config.aug_rot_max > 0 and config.aug_rot_mode == "batch":
+        import math
+
+        # Window margin must cover the rotated square: |cos| + |sin| of the
+        # largest configured angle (peaks at sqrt(2) for 45 deg).
+        mm = min(config.aug_rot_max, math.pi / 4)
+        margin = min(math.sqrt(2.0), math.cos(mm) + math.sin(mm)) + 0.02
+        crops = rotated_separable_crop(
+            batch["images"], batch["centers"], scales, rot_shared, flips,
+            out_size=config.crop_size, margin=margin,
+        )
+    elif config.aug_rot_max > 0:
         crops = jax.vmap(partial(affine_crop, out_size=config.crop_size))(
             batch["images"], batch["centers"], scales, rots, flips
         )

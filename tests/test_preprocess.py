@@ -5,6 +5,7 @@ keypoint/image alignment, normalization range.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from human_3d_reconstruction_tpu.data import (
@@ -188,3 +189,146 @@ class TestSeparableFastPath:
         assert fast.dtype == jnp.bfloat16
         err = np.abs(np.asarray(fast, np.float32) - exact).max()
         assert err < 2.5e-2, err  # interp sums of bf16-rounded pixels
+
+
+class TestShearRotateCrop:
+    """MXU 3-shear rotation crop (batch-shared angle) vs the gather path."""
+
+    def _affine_images(self, B, H, W):
+        gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        img = np.stack([0.3 * gx + 0.1 * gy + 10, 0.5 * gy + 5,
+                        0.2 * gx + 0.4 * gy], axis=-1)
+        return np.broadcast_to(img, (B, H, W, 3)).copy()
+
+    def test_exact_on_affine_images(self):
+        """Any chain of bilinear resamples reproduces affine content
+        exactly, so on linear-gradient images the 3-shear path must equal
+        affine_crop to float precision — for every flip pattern and both
+        rotation signs."""
+        from functools import partial
+
+        from human_3d_reconstruction_tpu.data.preprocess import (
+            affine_crop,
+            rotated_separable_crop,
+        )
+
+        B, H, W, S = 3, 128, 128, 64
+        imgs = jnp.asarray(self._affine_images(B, H, W))
+        centers = jnp.tile(jnp.asarray([[64.0, 64.0]]), (B, 1))
+        scales = jnp.full((B,), 60.0)
+        for rot in (0.3, -0.25, 0.0):
+            rots = jnp.full((B,), rot)
+            for flips in ([0, 0, 0], [1, 1, 1], [0, 1, 0]):
+                fl = jnp.asarray(flips, jnp.float32)
+                ref = jax.vmap(partial(affine_crop, out_size=S))(
+                    imgs, centers, scales, rots, fl
+                )
+                got = rotated_separable_crop(
+                    imgs, centers, scales, jnp.asarray(rot), fl, out_size=S
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got)[:, 8:-8, 8:-8],
+                    np.asarray(ref)[:, 8:-8, 8:-8],
+                    atol=5e-4, err_msg=f"rot={rot} flips={flips}",
+                )
+
+    def test_blob_lands_on_transformed_keypoint(self, rng):
+        """Geometric alignment: a Gaussian blob at source point p must
+        appear at transform_keypoints(p) in the rotated crop."""
+        from human_3d_reconstruction_tpu.data.preprocess import (
+            rotated_separable_crop,
+            transform_keypoints,
+        )
+
+        H = W = 160
+        S = 96
+        p = np.asarray([96.0, 70.0])
+        gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        blob = np.exp(-((gx - p[0]) ** 2 + (gy - p[1]) ** 2) / (2 * 3.0**2))
+        img = np.repeat(blob[None, :, :, None], 3, axis=-1).astype(np.float32)
+
+        center = jnp.asarray([80.0, 80.0])
+        scale = jnp.asarray(120.0)
+        rot = 0.35
+        for flip in (0.0, 1.0):
+            crop = rotated_separable_crop(
+                jnp.asarray(img), center[None], scale[None],
+                jnp.asarray(rot), jnp.asarray([flip]), out_size=S,
+            )[0]
+            resp = np.asarray(crop[..., 0])
+            cy, cx = np.unravel_index(np.argmax(resp), resp.shape)
+            kp = transform_keypoints(
+                jnp.asarray(p)[None], center, scale,
+                rot=jnp.asarray(rot), flip=jnp.asarray(flip),
+            )[0]
+            # [-1, 1] crop coords -> pixel coords
+            ex = (float(kp[0]) + 1.0) * 0.5 * S - 0.5
+            ey = (float(kp[1]) + 1.0) * 0.5 * S - 0.5
+            assert np.hypot(cx - ex, cy - ey) < 1.5, (cx, cy, ex, ey, flip)
+
+    def test_close_to_gather_path_on_smooth_images(self, rng):
+        """On smooth (non-affine) content the 3-shear chain blurs slightly
+        more than single-pass bilinear; bound the difference."""
+        from functools import partial
+
+        from human_3d_reconstruction_tpu.data.preprocess import (
+            affine_crop,
+            rotated_separable_crop,
+        )
+        from scipy.ndimage import gaussian_filter
+
+        B, H, W, S = 2, 128, 128, 64
+        raw = rng.uniform(0, 255, (B, H, W, 3))
+        imgs = jnp.asarray(
+            gaussian_filter(raw, sigma=(0, 3, 3, 0)).astype(np.float32)
+        )
+        centers = jnp.tile(jnp.asarray([[64.0, 64.0]]), (B, 1))
+        scales = jnp.full((B,), 70.0)
+        rot = 0.3
+        ref = jax.vmap(partial(affine_crop, out_size=S))(
+            imgs, centers, scales, jnp.full((B,), rot), jnp.zeros((B,))
+        )
+        got = rotated_separable_crop(
+            imgs, centers, scales, jnp.asarray(rot), jnp.zeros((B,)), out_size=S
+        )
+        diff = np.abs(np.asarray(got)[:, 6:-6, 6:-6] - np.asarray(ref)[:, 6:-6, 6:-6])
+        assert diff.max() < 6.0, diff.max()  # of 255 range, smooth content
+
+    def test_trainer_batch_mode_uses_shared_angle(self, rng):
+        """aug_rot_mode='batch' (default) must transform kp/j3d/theta with
+        the SAME angle for every sample, consistent with the image path —
+        the pose-aug invariance test covers geometry; here pin sharing."""
+        from human_3d_reconstruction_tpu.train import trainer as T
+
+        B = 4
+        batch = {
+            "images": jnp.asarray(rng.uniform(0, 255, (B, 48, 48, 3)).astype(np.float32)),
+            "centers": jnp.tile(jnp.asarray([[24.0, 24.0]]), (B, 1)),
+            "scales": jnp.full((B,), 40.0),
+            "kp2d": jnp.asarray(
+                np.concatenate([rng.uniform(4, 44, (B, 14, 2)), np.ones((B, 14, 1))], 2)
+                .astype(np.float32)),
+            "joints3d": jnp.asarray(rng.normal(scale=0.3, size=(B, 14, 3)).astype(np.float32)),
+            "has_3d": jnp.ones((B,)),
+            "theta": jnp.asarray(rng.normal(scale=0.3, size=(B, 72)).astype(np.float32)),
+            "beta": jnp.zeros((B, 10)),
+            "has_smpl": jnp.ones((B,)),
+        }
+        config = T.TrainConfig(crop_size=32, aug_rot_max=0.4)
+        crops, kp2d, vis, j3d, theta = T._device_preprocess(
+            config, batch, jax.random.key(3)
+        )
+        # Recover each sample's implied rotation from the j3d transform:
+        # the xy rotation angle between input and output joints.
+        j_in = np.asarray(batch["joints3d"])
+        j_out = np.asarray(j3d)
+        angles = []
+        for b in range(B):
+            a, o = j_in[b, :, :2], j_out[b, :, :2]
+            num = np.sum(a[:, 0] * o[:, 1] - a[:, 1] * o[:, 0])
+            den = np.sum(a[:, 0] * o[:, 0] + a[:, 1] * o[:, 1])
+            angles.append(np.arctan2(num, den))
+        assert np.ptp(angles) < 1e-5, angles  # one shared angle
+        assert abs(angles[0]) > 1e-3  # and it actually rotated
