@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--crop", type=int, default=224)
     ap.add_argument("--frame", type=int, default=256)
     ap.add_argument("--g_lr", type=float, default=1e-4)
+    ap.add_argument("--cosine", action="store_true",
+                    help="cosine-decay g_lr over --steps (tail-stabilizes "
+                         "the noisy adversarial descent)")
     ap.add_argument("--encoder_dtype", choices=["f32", "bf16"], default="bf16")
     ap.add_argument("--smpl", choices=["xla", "pallas"], default="pallas")
     ap.add_argument("--no_adversarial", action="store_true")
@@ -117,6 +120,15 @@ def main() -> None:
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
         config, jax.random.key(0), smpl_model.as_dict(), mean_params=mean
     )
+    if args.cosine:
+        import optax
+
+        g_tx = optax.adamw(
+            optax.cosine_decay_schedule(args.g_lr, args.steps, alpha=0.05),
+            b1=config.adam_b1, b2=config.adam_b2,
+            weight_decay=config.weight_decay,
+        )
+        gen = gen.replace(opt_state=g_tx.init(gen.params))
     smpl_apply = None
     smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
     if args.smpl == "pallas":
