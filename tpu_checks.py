@@ -15,6 +15,10 @@ Checks:
                            artifact, same weights: DeltaMPJPE < 1 mm
                            (VERDICT r2 item 4 — the raw 1.3e-3 m vert gap
                            stated at the metric level that matters)
+  8. tiled rasterizer    — binned-vs-dense depth equality COMPILED on chip
+                           (pytest covers it CPU-only)
+  9. pose-aug invariance — rotated GT theta decodes to rotated joints
+                           through the compiled SMPL forward (r3 aug fix)
 
 Run:  timeout 900 python tpu_checks.py      (keep the CLAUDE.md tunnel rules:
 one TPU process at a time, prefer timeout over hard kills)
@@ -201,6 +205,43 @@ def main() -> None:
         r_exp = run_protocol(predict_exported, eval_stream())
     results["export_vs_bf16_mpjpe_mm"] = round(abs(r_exp.mpjpe_mm - r_bf16.mpjpe_mm), 4)
 
+    # 8: tiled rasterizer == dense rasterizer, compiled on the chip
+    # (local topology, no overflow -> the binned branch actually runs).
+    from human_3d_reconstruction_tpu.viz.device_raster import rasterize_depth
+    from human_3d_reconstruction_tpu.viz.mesh_io import uv_sphere
+    from human_3d_reconstruction_tpu.viz.tiled_raster import rasterize_depth_tiled
+
+    sv, sf = uv_sphere(32, 54, radius=80.0, center=(160.0, 120.0, 2.0))
+    sv, sf = jnp.asarray(sv), jnp.asarray(sf)
+    z_dense = np.asarray(rasterize_depth(sv, sf, 240, 320))
+    z_tiled = np.asarray(rasterize_depth_tiled(sv, sf, 240, 320))
+    finite = np.isfinite(z_dense)
+    results["tiled_raster_gap"] = float(
+        np.abs(np.where(finite, z_dense, 0.0) - np.where(finite, z_tiled, 0.0)).max()
+    ) + float(np.sum(finite != np.isfinite(z_tiled)))
+
+    # 9: augmentation<->GT consistency on chip: decode the rotated theta
+    # and require rotated (root-relative) joints.
+    from human_3d_reconstruction_tpu.smpl.pose_aug import rotate_root_pose
+
+    rot = jnp.asarray(rng.uniform(-0.4, 0.4, size=(B,)).astype(np.float32))
+    j_base = np.asarray(jax.jit(lambda t, b: smpl_forward(raw, t, b).eval_joints)(pose, betas))
+    j_rot = np.asarray(
+        jax.jit(lambda t, b, r: smpl_forward(raw, rotate_root_pose(t, r), b).eval_joints)(
+            pose, betas, rot
+        )
+    )
+    c_, s_ = np.cos(-np.asarray(rot)), np.sin(-np.asarray(rot))
+    jc = j_base - j_base.mean(1, keepdims=True)
+    jr = j_rot - j_rot.mean(1, keepdims=True)
+    expect = np.stack(
+        [c_[:, None] * jc[:, :, 0] - s_[:, None] * jc[:, :, 1],
+         s_[:, None] * jc[:, :, 0] + c_[:, None] * jc[:, :, 1],
+         jc[:, :, 2]],
+        axis=-1,
+    )
+    results["pose_aug_invariance_m"] = float(np.abs(jr - expect).max())
+
     # Bars.
     bars = {
         "pallas_vs_xla_fwd_m": 2e-5,
@@ -221,6 +262,8 @@ def main() -> None:
         # artifact must sit within 1 mm of the f32 graph's eval MPJPE.
         "bf16_vs_f32_mpjpe_mm": 1.0,
         "export_vs_bf16_mpjpe_mm": 1.0,
+        "tiled_raster_gap": 1e-6,      # exact (conservative binning)
+        "pose_aug_invariance_m": 1e-5,  # measured 1.8e-7 on chip
     }
     for key, bar in bars.items():
         if results[key] > bar:
