@@ -114,3 +114,39 @@ def keypoint_2d_pck(
         return jnp.mean(correct)
     vis = vis.astype(jnp.float32)
     return jnp.sum(correct * vis) / jnp.maximum(jnp.sum(vis), 1.0)
+
+
+def joint_errors_mm(
+    pred: jax.Array, gt: jax.Array, root_index: Optional[int] = 0
+) -> jax.Array:
+    """Per-joint position errors in mm: (..., J, 3) meters -> (..., J).
+
+    Root-aligned like MPJPE; the per-joint form feeds the MPI-INF-3DHP
+    protocol's threshold metrics below.
+    """
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    if root_index is not None:
+        pred = root_align(pred, root_index)
+        gt = root_align(gt, root_index)
+    return jnp.linalg.norm(pred - gt, axis=-1) * 1000.0
+
+
+def pck3d(errors_mm: jax.Array, threshold_mm: float = 150.0) -> jax.Array:
+    """MPI-INF-3DHP 3D-PCK: fraction of joints with error < threshold.
+
+    Reference parity: the reference family evaluates 3DHP with
+    PCK3D@150mm and its AUC (SURVEY §2 "Eval harness" names the 3DHP
+    source; the 150 mm threshold is the dataset's standard protocol).
+    """
+    return jnp.mean((errors_mm < threshold_mm).astype(jnp.float32))
+
+
+def auc3d(
+    errors_mm: jax.Array, max_threshold_mm: float = 150.0, steps: int = 30
+) -> jax.Array:
+    """3DHP AUC: mean PCK3D over thresholds (0, max] in `steps` bins."""
+    ts = jnp.linspace(max_threshold_mm / steps, max_threshold_mm, steps)
+    return jnp.mean(
+        (errors_mm[..., None] < ts).astype(jnp.float32)
+    )

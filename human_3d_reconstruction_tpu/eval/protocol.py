@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
-from human_3d_reconstruction_tpu.eval.metrics import mpjpe, pa_mpjpe
+from human_3d_reconstruction_tpu.eval.metrics import (
+    auc3d,
+    joint_errors_mm,
+    mpjpe,
+    pa_mpjpe,
+    pck3d,
+)
 
 H36M_EVAL_ACTIONS = (
     "Directions", "Discussion", "Eating", "Greeting", "Phoning", "Photo",
@@ -49,12 +55,17 @@ class EvalReport:
     pa_mpjpe_mm: float
     per_action: dict[str, dict[str, float]]
     num_frames: int
+    # MPI-INF-3DHP protocol metrics (computed over the same stream):
+    pck3d_150: float = float("nan")
+    auc3d: float = float("nan")
 
     def to_json(self) -> str:
         return json.dumps(
             {
                 "mpjpe_mm": self.mpjpe_mm,
                 "pa_mpjpe_mm": self.pa_mpjpe_mm,
+                "pck3d_150": self.pck3d_150,
+                "auc3d": self.auc3d,
                 "per_action": self.per_action,
                 "num_frames": self.num_frames,
             },
@@ -72,6 +83,9 @@ class EvalReport:
         lines.append(
             f"{'ALL':<14} {self.mpjpe_mm:>10.1f} {self.pa_mpjpe_mm:>13.1f} "
             f"{self.num_frames:>7}"
+        )
+        lines.append(
+            f"3DHP protocol: PCK3D@150mm {self.pck3d_150:.3f}  AUC {self.auc3d:.3f}"
         )
         return "\n".join(lines)
 
@@ -96,6 +110,7 @@ def run_protocol(
 
     wants_batch = "batch" in inspect.signature(predict_joints).parameters
     per_action_err: dict[int, list[tuple[float, float, int]]] = {}
+    all_joint_errs: list[np.ndarray] = []
     total_frames = 0
 
     # Per-sample device metric fns (jitted once; shapes are static per batch).
@@ -106,6 +121,7 @@ def run_protocol(
             return (
                 mpjpe(p[None], g[None]) * 1000.0,
                 pa_mpjpe(p[None], g[None]) * 1000.0,
+                joint_errors_mm(p, g),  # (K,) -> the 3DHP threshold metrics
             )
 
         return jax.vmap(one)(pred, gt)
@@ -121,12 +137,13 @@ def run_protocol(
             pred.shape,
             gt.shape,
         )
-        e_mpjpe, e_pa = jax.device_get(score(pred, gt))
+        e_mpjpe, e_pa, e_joints = jax.device_get(score(pred, gt))
         n = len(batch.actions) if batch.n_valid is None else batch.n_valid
         for i, act in enumerate(batch.actions[:n]):
             per_action_err.setdefault(int(act), []).append(
                 (float(e_mpjpe[i]), float(e_pa[i]), 1)
             )
+        all_joint_errs.append(np.asarray(e_joints[:n]))
         total_frames += n
 
     per_action = {}
@@ -139,11 +156,19 @@ def run_protocol(
         all_mpjpe.extend(r[0] for r in rows)
         all_pa.extend(r[1] for r in rows)
 
+    if all_joint_errs:
+        errs = np.concatenate(all_joint_errs)  # (N, K) mm
+        pck = float(np.asarray(pck3d(errs)))
+        auc = float(np.asarray(auc3d(errs)))
+    else:
+        pck = auc = float("nan")
     report = EvalReport(
         mpjpe_mm=float(np.mean(all_mpjpe)) if all_mpjpe else float("nan"),
         pa_mpjpe_mm=float(np.mean(all_pa)) if all_pa else float("nan"),
         per_action=per_action,
         num_frames=total_frames,
+        pck3d_150=pck,
+        auc3d=auc,
     )
     if report_path is not None:
         Path(report_path).write_text(report.to_json())

@@ -96,3 +96,49 @@ class TestPCK:
         pred = jnp.asarray([[[0.01, 0.0], [0.2, 0.0]]])
         vis = jnp.asarray([[1.0, 0.0]])
         assert np.isclose(float(keypoint_2d_pck(pred, gt, vis=vis, threshold=0.05)), 1.0)
+
+
+class Test3DHPProtocolMetrics:
+    def test_pck3d_hand_case(self):
+        from human_3d_reconstruction_tpu.eval.metrics import joint_errors_mm, pck3d
+
+        # 2 samples x 2 joints (+root): errors 0/100/200/300 mm after
+        # root alignment.
+        gt = jnp.zeros((2, 3, 3))
+        pred = jnp.zeros((2, 3, 3))
+        pred = pred.at[0, 1, 0].set(0.100).at[0, 2, 0].set(0.200)
+        pred = pred.at[1, 1, 0].set(0.300)
+        errs = joint_errors_mm(pred, gt)
+        np.testing.assert_allclose(
+            np.asarray(errs), [[0, 100, 200], [0, 300, 0]], atol=1e-3
+        )
+        # threshold 150: correct = {0, 100, 0, 0} -> 4/6
+        np.testing.assert_allclose(float(pck3d(errs, 150.0)), 4 / 6, atol=1e-6)
+
+    def test_auc3d_monotone_and_bounds(self, rng):
+        from human_3d_reconstruction_tpu.eval.metrics import auc3d
+
+        small = jnp.asarray(rng.uniform(0, 50, (8, 14)).astype(np.float32))
+        large = small + 120.0
+        a_small = float(auc3d(small))
+        a_large = float(auc3d(large))
+        assert 0.0 <= a_large < a_small <= 1.0
+        # all-zero errors -> AUC exactly 1
+        assert float(auc3d(jnp.zeros((4, 14)))) == 1.0
+
+    def test_run_protocol_reports_3dhp_metrics(self, smpl_model):
+        from human_3d_reconstruction_tpu.eval.protocol import (
+            run_protocol,
+            synthetic_eval_batches,
+        )
+
+        def perfect(images, centers, scales, batch=None):
+            return jnp.asarray(self._gt)
+
+        batches = list(synthetic_eval_batches(smpl_model, num_batches=1, batch_size=4))
+        self._gt = batches[0].gt_joints3d
+        report = run_protocol(perfect, iter(batches))
+        assert report.pck3d_150 == 1.0
+        assert report.auc3d == 1.0
+        assert "PCK3D@150mm" in report.table()
+        assert "pck3d_150" in report.to_json()

@@ -200,3 +200,55 @@ def test_augment_pose_composition_order(rng):
         np.asarray(rotated),
     )
     np.testing.assert_allclose(out, expected, atol=0)
+
+
+def test_trainer_sample_mode_invariance(rng):
+    """aug_rot_mode='sample' (the reference-faithful per-sample gather
+    path) must satisfy the same augmented-theta/joints consistency."""
+    from human_3d_reconstruction_tpu.train import trainer as T
+
+    B = 6
+    params_np = _mirror_symmetric_smpl_params()
+    params = {k: jnp.asarray(v) for k, v in params_np.items()}
+    theta = rng.normal(scale=0.5, size=(B, 72)).astype(np.float32)
+    beta = np.zeros((B, 10), np.float32)
+    decoded = smpl_forward(params, jnp.asarray(theta), jnp.asarray(beta))
+    j3d = np.asarray(decoded.eval_joints)
+    j3d = (j3d - j3d.mean(axis=1, keepdims=True)).astype(np.float32)
+
+    batch = {
+        "images": rng.uniform(0, 255, (B, 48, 48, 3)).astype(np.float32),
+        "centers": np.tile([[24.0, 24.0]], (B, 1)).astype(np.float32),
+        "scales": np.full((B,), 40.0, np.float32),
+        "kp2d": np.concatenate(
+            [rng.uniform(4, 44, (B, NUM_KP, 2)), np.ones((B, NUM_KP, 1))], axis=2
+        ).astype(np.float32),
+        "joints3d": j3d,
+        "has_3d": np.ones((B,), np.float32),
+        "theta": theta,
+        "beta": beta,
+        "has_smpl": np.ones((B,), np.float32),
+    }
+    config = T.TrainConfig(
+        crop_size=32, aug_rot_max=0.4, aug_flip=True, aug_rot_mode="sample"
+    )
+    crops, kp2d, vis, j3d_aug, theta_aug = T._device_preprocess(
+        config, {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.key(9)
+    )
+    redecoded = smpl_forward(params, theta_aug, jnp.asarray(beta))
+    pred = np.asarray(redecoded.eval_joints)
+    pred = pred - pred.mean(axis=1, keepdims=True)
+    target = np.asarray(j3d_aug)
+    target = target - target.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(pred, target, atol=1e-4)
+    # per-sample mode: the drawn angles must actually differ across samples
+    j_in = batch["joints3d"]
+    angs = []
+    for b in range(B):
+        a, o = j_in[b, :, :2], target[b, :, :2]
+        if np.asarray(jnp.sum(jnp.abs(jnp.asarray(a)))) < 1e-6:
+            continue
+        num = np.sum(a[:, 0] * o[:, 1] - a[:, 1] * o[:, 0])
+        den = np.sum(a[:, 0] * o[:, 0] + a[:, 1] * o[:, 1])
+        angs.append(np.arctan2(num, den))
+    assert np.ptp(angs) > 1e-3, angs
