@@ -102,11 +102,14 @@ def main(argv: list[str]) -> None:
              f"(|theta|={np.linalg.norm(mean_params[:72]):.3f})")
 
     # states + step
+    import dataclasses
+
     train_cfg = config.train
     if train_cfg.crop_size != config.data.crop_size:
-        import dataclasses
-
         train_cfg = dataclasses.replace(train_cfg, crop_size=config.data.crop_size)
+    if train_cfg.lr_schedule and train_cfg.lr_decay_steps == 0:
+        train_cfg = dataclasses.replace(train_cfg, lr_decay_steps=config.total_steps)
+        echo(f"lr_schedule={train_cfg.lr_schedule} over {config.total_steps} steps")
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
         train_cfg, jax.random.key(config.seed), smpl_model.as_dict(),
         mean_params=mean_params,

@@ -46,6 +46,13 @@ class TrainConfig:
     crop_size: int = 224
     g_lr: float = 1e-4
     d_lr: float = 1e-4
+    # '' = constant lr (the reference's fixed-Adam recipe); 'cosine' decays
+    # the generator lr to 5% over lr_decay_steps (cli/train fills
+    # lr_decay_steps from total_steps when left 0). Measured value: the
+    # r3 generalization run's tail descent (85 -> 66 mm val MPJPE) came
+    # with the cosine tail; constant lr bounced 86-100 mm.
+    lr_schedule: str = ""
+    lr_decay_steps: int = 0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     weight_decay: float = 1e-4
@@ -96,8 +103,16 @@ def create_states(
     gen_vars = model.init(g_rng, dummy)
     disc_vars = disc.init(d_rng, jnp.zeros((1, 72)), jnp.zeros((1, 10)))
 
+    if config.lr_schedule == "cosine" and config.lr_decay_steps > 0:
+        g_lr = optax.cosine_decay_schedule(
+            config.g_lr, config.lr_decay_steps, alpha=0.05
+        )
+    elif config.lr_schedule:
+        raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
+    else:
+        g_lr = config.g_lr
     g_tx = optax.adamw(
-        config.g_lr, b1=config.adam_b1, b2=config.adam_b2, weight_decay=config.weight_decay
+        g_lr, b1=config.adam_b1, b2=config.adam_b2, weight_decay=config.weight_decay
     )
     d_tx = optax.adamw(
         config.d_lr, b1=config.adam_b1, b2=config.adam_b2, weight_decay=config.weight_decay

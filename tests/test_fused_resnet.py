@@ -75,13 +75,19 @@ class TestFusedStage:
 
 
 class TestFusedEncoderEndToEnd:
-    def test_features_match_flax(self, rng):
+    def test_features_match_flax(self):
         """Full encoder: stem + pool + Pallas 1-2 + XLA 3-4 + mean == flax."""
         from human_3d_reconstruction_tpu.models.fused_encoder import (
             encoder_features_fused,
         )
         from human_3d_reconstruction_tpu.models.hmr import HMRConfig
 
+        # Dedicated rng, NOT the shared session fixture: with random
+        # (unnormalized) weights the 16-block activation blow-up makes the
+        # comparison tolerance-marginal, and the shared fixture's state
+        # depends on which tests ran before (order-dependent draws made
+        # this fail in full-suite runs while passing alone).
+        rng = np.random.default_rng(1234)
         # encoder_features_fused reads stage sizes from the variant table,
         # so test on a true resnet50-shaped encoder.
         hmr_cfg = HMRConfig(encoder="resnet50", encoder_stem="s2d", encoder_fold_bn=True)

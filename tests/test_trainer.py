@@ -280,3 +280,37 @@ class TestDataEchoing:
             config, batch, jax.random.split(jax.random.fold_in(key, 1))[0]
         )
         assert not np.allclose(np.asarray(crops0), np.asarray(crops1))
+
+
+class TestLrSchedule:
+    def test_cosine_schedule_decays_updates(self, smpl_model):
+        """create_states(lr_schedule='cosine') must shrink the generator's
+        update magnitude as the step count advances."""
+        import optax
+
+        from human_3d_reconstruction_tpu.train.trainer import TrainConfig, create_states
+
+        config = TrainConfig(
+            crop_size=32, lr_schedule="cosine", lr_decay_steps=10
+        )
+        gen, _, _, _, g_tx, _ = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        grads = jax.tree.map(jnp.ones_like, gen.params)
+        opt_state = gen.opt_state
+        norms = []
+        params = gen.params
+        for _ in range(10):
+            updates, opt_state = g_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            norms.append(float(optax.global_norm(updates)))
+        assert norms[-1] < 0.2 * norms[1], norms  # decayed to ~5%
+
+    def test_unknown_schedule_raises(self, smpl_model):
+        from human_3d_reconstruction_tpu.train.trainer import TrainConfig, create_states
+
+        with pytest.raises(ValueError):
+            create_states(
+                TrainConfig(crop_size=32, lr_schedule="warmup", lr_decay_steps=5),
+                jax.random.key(0), smpl_model.as_dict(),
+            )
