@@ -54,6 +54,13 @@ def main() -> None:
         action="store_true",
         help="rematerialize encoder blocks (gradient checkpointing)",
     )
+    ap.add_argument(
+        "--aug",
+        choices=["off", "batch", "sample"],
+        default="off",
+        help="augmentation: off | batch (flip+scale+MXU shared-angle rot)"
+             " | sample (per-sample gather rot — the 395 ms path)",
+    )
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -73,9 +80,14 @@ def main() -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
 
     def bench_point(B: int, encoder_dtype, smpl: str) -> dict:
+        aug = {} if args.aug == "off" else dict(
+            aug_rot_max=0.35, aug_scale_jitter=0.15, aug_flip=True,
+            aug_rot_mode=args.aug,
+        )
         config = TrainConfig(
             crop_size=args.crop,
             hmr=HMRConfig(encoder_dtype=encoder_dtype, encoder_remat=args.remat),
+            **aug,
         )
         gen, disc, model, disc_mod, g_tx, d_tx = create_states(
             config, jax.random.key(0), smpl_model.as_dict()
