@@ -55,6 +55,13 @@ def main() -> None:
     ap.add_argument("--no_aug", action="store_true")
     ap.add_argument("--echo", type=int, default=1, help="data echo factor")
     ap.add_argument("--out", default="/tmp/gen_run")
+    ap.add_argument("--save_checkpoint", action="store_true",
+                    help="Orbax-save the trained generator (+ the mean-params"
+                         " seed) to <out>/ckpt for the inference CLIs")
+    ap.add_argument("--export_val", action="store_true",
+                    help="write the val split to <out>/val/ as PNGs + an"
+                         " h36m-style npz index so cli.eval can score the"
+                         " trained checkpoint end-to-end")
     ap.add_argument("--seed_train", type=int, default=0)
     ap.add_argument("--seed_val", type=int, default=7777)
     args = ap.parse_args()
@@ -261,6 +268,59 @@ def main() -> None:
                 if since_best >= args.patience:
                     echo(f"plateau: no val improvement for {since_best} evals")
                     break
+
+    if args.save_checkpoint:
+        from human_3d_reconstruction_tpu.smpl.mean_params import (
+            mean_params_file,
+            save_mean_params,
+        )
+        from human_3d_reconstruction_tpu.train.trainer import (
+            make_checkpoint_manager,
+            save_checkpoint,
+        )
+
+        ckpt_dir = out_dir / "ckpt"
+        mgr = make_checkpoint_manager(str(ckpt_dir))
+        save_checkpoint(mgr, step, gen, disc)
+        mgr.wait_until_finished()
+        save_mean_params(mean_params_file(ckpt_dir), mean)
+        echo(f"checkpoint + mean seed saved to {ckpt_dir}")
+
+    if args.export_val:
+        # h36m-style index: scatter the LSP-14 annotations into the 17-slot
+        # H36M layout the adapter's gather tables expect.
+        import cv2
+
+        from human_3d_reconstruction_tpu.data.skeleton import H36M_TO_LSP14
+
+        val_dir = out_dir / "val"
+        (val_dir / "images").mkdir(parents=True, exist_ok=True)
+        N = args.val_size
+        kp17 = np.zeros((N, 17, 3), np.float32)
+        j17 = np.zeros((N, 17, 3), np.float32)
+        paths = []
+        for i in range(N):
+            rec = val_ds[i]
+            kp17[i, H36M_TO_LSP14] = rec.kp2d
+            j17[i, H36M_TO_LSP14] = rec.joints3d
+            p = f"images/val_{i:05d}.png"
+            cv2.imwrite(
+                str(val_dir / p),
+                cv2.cvtColor(
+                    np.clip(rec.image, 0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+                ),
+            )
+            paths.append(p)
+        np.savez_compressed(
+            val_dir / "index.npz",
+            image_paths=np.asarray(paths),
+            centers=val_ds.centers,
+            scales=val_ds.scales,
+            keypoints=kp17,
+            joints3d=j17,
+            actions=(np.arange(N) % 15).astype(np.int64),
+        )
+        echo(f"val split exported: {val_dir}/index.npz ({N} frames)")
 
     summary = {
         "best_val_mpjpe_mm": best,

@@ -399,17 +399,31 @@ def restore_inference_variables(mgr, variables_template):
     if step is None:
         return variables_template, 0
     params = variables_template["params"]
-    skeleton = GenState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=variables_template["batch_stats"],
-        opt_state=optax.adamw(1e-4).init(params),
-    )
-    restored = mgr.restore(
-        step,
-        args=ocp.args.Composite(gen=ocp.args.StandardRestore(jax.device_get(skeleton))),
-    )["gen"]
-    return {"params": restored.params, "batch_stats": restored.batch_stats}, step
+    # The adamw opt-state STRUCTURE depends on whether training used an lr
+    # schedule (scale_by_schedule carries a step count; a constant lr does
+    # not), and Orbax matches trees strictly — try both skeletons.
+    last_err = None
+    for tx in (
+        optax.adamw(1e-4),
+        optax.adamw(optax.cosine_decay_schedule(1e-4, 1)),
+    ):
+        skeleton = GenState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables_template["batch_stats"],
+            opt_state=tx.init(params),
+        )
+        try:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    gen=ocp.args.StandardRestore(jax.device_get(skeleton))
+                ),
+            )["gen"]
+            return {"params": restored.params, "batch_stats": restored.batch_stats}, step
+        except Exception as e:  # tree-structure mismatch: try the next form
+            last_err = e
+    raise last_err
 
 
 def restore_latest(mgr, gen_template: GenState, disc_template: DiscState):

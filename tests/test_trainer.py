@@ -314,3 +314,32 @@ class TestLrSchedule:
                 TrainConfig(crop_size=32, lr_schedule="warmup", lr_decay_steps=5),
                 jax.random.key(0), smpl_model.as_dict(),
             )
+
+    def test_inference_restore_from_cosine_checkpoint(self, smpl_model, tmp_path):
+        """A checkpoint trained with lr_schedule='cosine' has a different
+        adamw state STRUCTURE (scale_by_schedule step count); the inference
+        restore must handle both forms."""
+        from human_3d_reconstruction_tpu.train.trainer import (
+            TrainConfig,
+            create_states,
+            make_checkpoint_manager,
+            restore_inference_variables,
+            save_checkpoint,
+        )
+
+        config = TrainConfig(crop_size=32, lr_schedule="cosine", lr_decay_steps=100)
+        gen, disc, model, *_ = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        mgr = make_checkpoint_manager(str(tmp_path / "ck"))
+        save_checkpoint(mgr, 5, gen, disc)
+        mgr.wait_until_finished()
+
+        template = {"params": gen.params, "batch_stats": gen.batch_stats}
+        mgr2 = make_checkpoint_manager(str(tmp_path / "ck"))
+        variables, step = restore_inference_variables(mgr2, template)
+        assert step == 5
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(variables["params"])[0]),
+            np.asarray(jax.tree.leaves(gen.params)[0]),
+        )
