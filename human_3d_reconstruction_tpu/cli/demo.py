@@ -145,6 +145,14 @@ def main(argv: list[str]) -> None:
         echo(f"wrote {N} meshes to {mesh_dir}/")
 
     out_path = own.get("out", "demo_overlay.png")
+    # An extension-less --out (or an existing directory) would make
+    # cv2.imwrite fail AFTER the whole recovery ran — resolve it to a png.
+    p = Path(out_path)
+    if p.is_dir() or p.suffix.lower() not in (".png", ".jpg", ".jpeg", ".bmp"):
+        p.mkdir(parents=True, exist_ok=True) if not p.suffix else None
+        p = (p / "demo_overlay.png") if p.is_dir() else p.with_suffix(".png")
+    out_path = str(p)
+    p.parent.mkdir(parents=True, exist_ok=True)
     import cv2
 
     cv2.imwrite(out_path, cv2.cvtColor(overlay.clip(0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
