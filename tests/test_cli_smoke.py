@@ -205,6 +205,35 @@ class TestCLISmoke:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "data echoing x2" in r.stderr or "data echoing x2" in r.stdout
 
+    def test_train_cli_round3_features(self, tmp_path):
+        """All round-3 training flags through the real CLI in one run:
+        dataset-derived mean seed (persisted for inference), cosine lr
+        schedule (decay_steps auto-filled), full augmentation incl. the
+        MXU batch-rotation path."""
+        r = run_cli(
+            "train",
+            [
+                "single_image",
+                "--total_steps=3",
+                "--log_every=1",
+                "--mean_params=mosh",
+                "--train.lr_schedule=cosine",
+                "--train.aug_rot_max=0.3",
+                "--train.aug_scale_jitter=0.1",
+                "--train.aug_flip=true",
+                "--data.batch_size=2",
+                "--data.crop_size=48",
+                "--data.synthetic_size=8",
+                f"--checkpoint_dir={tmp_path}/ckpt",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "IEF seed: mean over" in r.stderr
+        assert "lr_schedule=cosine over 3 steps" in r.stderr
+        # the seed persisted next to the checkpoints for inference restore
+        assert (tmp_path / "ckpt" / "mean_params.npz").exists()
+
     def test_package_main_usage(self, tmp_path):
         import subprocess, sys, os
 
