@@ -56,10 +56,12 @@ def main() -> None:
     )
     ap.add_argument(
         "--aug",
-        choices=["off", "batch", "sample"],
+        choices=["off", "batch", "bucket", "sample"],
         default="off",
         help="augmentation: off | batch (flip+scale+MXU shared-angle rot)"
-             " | sample (per-sample gather rot — the 395 ms path)",
+             " | bucket (per-sample angles on a K-grid, K shared-angle"
+             " rotations + select) | sample (per-sample gather rot — the"
+             " 395 ms path)",
     )
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]

@@ -290,6 +290,46 @@ def rotated_separable_crop(
     return jnp.where(flip_mask, out[:, :, ::-1, :], out)
 
 
+def bucket_rotated_separable_crop(
+    images: jax.Array,
+    centers: jax.Array,
+    scales: jax.Array,
+    bucket_angles: jax.Array,
+    assign: jax.Array,
+    flips: jax.Array,
+    out_size: int = CROP_SIZE,
+    margin: float = 1.30,
+) -> jax.Array:
+    """PER-SAMPLE rotation angles at MXU speed: K angle buckets.
+
+    Each sample's angle is one of the K static `bucket_angles`; the batch
+    is 3-shear-rotated once per bucket (shared-angle weights -> banded
+    matmuls) and each sample selects its bucket's result. Cost is K x the
+    batch-shared rotation (~K * 2-3 ms @B=128) — between 'batch' (one
+    angle/step, 4.4 ms prep) and 'sample' (exact continuous angles via
+    gathers, 395 ms). Accumulated as sum_k mask_k * rot_k so peak memory
+    stays at two crop buffers, not K.
+
+    Args:
+        bucket_angles: (K,) the static-count bucket centers (values may be
+            traced). assign: (B,) int32 bucket index per sample.
+    """
+    S = out_size
+    Sp = int(2 * (-(-int(S * margin) // 2)))
+    big = jax.vmap(partial(separable_crop, out_size=Sp))(
+        images, centers, scales * (Sp / S), jnp.zeros_like(scales)
+    )
+    lo = (Sp - S) // 2
+    K = bucket_angles.shape[0]
+    out = jnp.zeros((images.shape[0], S, S, images.shape[-1]), jnp.float32)
+    for k in range(K):  # static unroll over buckets
+        rot_k = shear_rotate(big, bucket_angles[k])[:, lo : lo + S, lo : lo + S, :]
+        mask = (assign == k).astype(jnp.float32)[:, None, None, None]
+        out = out + mask * rot_k
+    flip_mask = (jnp.asarray(flips, jnp.float32) > 0)[:, None, None, None]
+    return jnp.where(flip_mask, out[:, :, ::-1, :], out)
+
+
 @partial(jax.jit, static_argnames=("out_size", "dtype"))
 def preprocess_crops(
     images: jax.Array,

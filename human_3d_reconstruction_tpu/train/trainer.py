@@ -26,6 +26,7 @@ import optax
 
 from human_3d_reconstruction_tpu.data.preprocess import (
     affine_crop,
+    bucket_rotated_separable_crop,
     normalize_image,
     rotated_separable_crop,
     separable_crop,
@@ -63,11 +64,14 @@ class TrainConfig:
     aug_rot_max: float = 0.0  # radians; 0 disables
     # 'batch': ONE shared angle per step -> MXU 3-shear rotation (~1-3 ms
     # @B=128; fresh angle each step so the aug distribution over training
-    # is unchanged). 'sample': per-sample angles -> 4-tap gather crop
-    # (measured 395 ms @B=128 — 87% of the step; see BASELINE.md r3
-    # attribution). The gather cost is the gather itself, not its
-    # formulation, hence the batch-shared default.
+    # is unchanged). 'bucket': PER-SAMPLE angles quantized to
+    # aug_rot_buckets centers, K shared-angle rotations + select (~K x the
+    # batch cost — per-sample independence at MXU speed). 'sample':
+    # per-sample continuous angles -> 4-tap gather crop (measured 395 ms
+    # @B=128 — 87% of the step; see BASELINE.md r3 attribution). The
+    # gather cost is the gather itself, not its formulation.
     aug_rot_mode: str = "batch"
+    aug_rot_buckets: int = 8
     aug_scale_jitter: float = 0.0
     aug_flip: bool = False
     hmr: HMRConfig = HMRConfig()
@@ -146,6 +150,14 @@ def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
             r_rot, (), minval=-config.aug_rot_max, maxval=config.aug_rot_max
         )
         rots = jnp.full((B,), rot_shared)
+    elif config.aug_rot_max > 0 and config.aug_rot_mode == "bucket":
+        # Per-sample angles on a K-point grid: kp/j3d/theta transforms use
+        # the SAME quantized angles as the image path, so the aug<->GT
+        # invariance stays exact.
+        K = config.aug_rot_buckets
+        bucket_angles = jnp.linspace(-config.aug_rot_max, config.aug_rot_max, K)
+        rot_assign = jax.random.randint(r_rot, (B,), 0, K)
+        rots = bucket_angles[rot_assign]
     elif config.aug_rot_max > 0:
         rots = jax.random.uniform(
             r_rot, (B,), minval=-config.aug_rot_max, maxval=config.aug_rot_max
@@ -167,17 +179,24 @@ def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
     )
     scales = batch["scales"] * scale_mult
 
-    if config.aug_rot_max > 0 and config.aug_rot_mode == "batch":
+    if config.aug_rot_max > 0 and config.aug_rot_mode in ("batch", "bucket"):
         import math
 
         # Window margin must cover the rotated square: |cos| + |sin| of the
         # largest configured angle (peaks at sqrt(2) for 45 deg).
         mm = min(config.aug_rot_max, math.pi / 4)
         margin = min(math.sqrt(2.0), math.cos(mm) + math.sin(mm)) + 0.02
-        crops = rotated_separable_crop(
-            batch["images"], batch["centers"], scales, rot_shared, flips,
-            out_size=config.crop_size, margin=margin,
-        )
+        if config.aug_rot_mode == "batch":
+            crops = rotated_separable_crop(
+                batch["images"], batch["centers"], scales, rot_shared, flips,
+                out_size=config.crop_size, margin=margin,
+            )
+        else:
+            crops = bucket_rotated_separable_crop(
+                batch["images"], batch["centers"], scales,
+                bucket_angles, rot_assign, flips,
+                out_size=config.crop_size, margin=margin,
+            )
     elif config.aug_rot_max > 0:
         crops = jax.vmap(partial(affine_crop, out_size=config.crop_size))(
             batch["images"], batch["centers"], scales, rots, flips

@@ -332,3 +332,87 @@ class TestShearRotateCrop:
             angles.append(np.arctan2(num, den))
         assert np.ptp(angles) < 1e-5, angles  # one shared angle
         assert abs(angles[0]) > 1e-3  # and it actually rotated
+
+
+class TestBucketRotatedCrop:
+    """Per-sample angles via K shared-angle rotations + select."""
+
+    def test_matches_per_sample_affine_on_affine_images(self):
+        from functools import partial
+
+        from human_3d_reconstruction_tpu.data.preprocess import (
+            affine_crop,
+            bucket_rotated_separable_crop,
+        )
+
+        B, H, W, S, K = 4, 128, 128, 64, 5
+        gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        img = np.stack([0.3 * gx + 0.1 * gy + 10, 0.5 * gy + 5,
+                        0.2 * gx + 0.4 * gy], axis=-1)
+        imgs = jnp.asarray(np.broadcast_to(img, (B, H, W, 3)).copy())
+        centers = jnp.tile(jnp.asarray([[64.0, 64.0]]), (B, 1))
+        scales = jnp.full((B,), 60.0)
+        bucket_angles = jnp.linspace(-0.3, 0.3, K)
+        assign = jnp.asarray([0, 2, 4, 1], jnp.int32)
+        flips = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+
+        got = bucket_rotated_separable_crop(
+            imgs, centers, scales, bucket_angles, assign, flips, out_size=S
+        )
+        ref = jax.vmap(partial(affine_crop, out_size=S))(
+            imgs, centers, scales, bucket_angles[assign], flips
+        )
+        np.testing.assert_allclose(
+            np.asarray(got)[:, 8:-8, 8:-8], np.asarray(ref)[:, 8:-8, 8:-8],
+            atol=5e-4,
+        )
+
+    def test_trainer_bucket_mode_invariance_and_diversity(self, rng):
+        """bucket mode: per-sample DIFFERENT angles, with the GT theta/j3d
+        transformed by the same quantized angles (exact invariance)."""
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+        from human_3d_reconstruction_tpu.train import trainer as T
+        from tests.test_pose_aug import _mirror_symmetric_smpl_params
+
+        B = 8
+        params = {k: jnp.asarray(v) for k, v in _mirror_symmetric_smpl_params().items()}
+        theta = rng.normal(scale=0.5, size=(B, 72)).astype(np.float32)
+        beta = np.zeros((B, 10), np.float32)
+        decoded = smpl_forward(params, jnp.asarray(theta), jnp.asarray(beta))
+        j3d = np.asarray(decoded.eval_joints)
+        j3d = (j3d - j3d.mean(axis=1, keepdims=True)).astype(np.float32)
+        batch = {
+            "images": jnp.asarray(rng.uniform(0, 255, (B, 48, 48, 3)).astype(np.float32)),
+            "centers": jnp.tile(jnp.asarray([[24.0, 24.0]]), (B, 1)),
+            "scales": jnp.full((B,), 40.0),
+            "kp2d": jnp.asarray(
+                np.concatenate([rng.uniform(4, 44, (B, 14, 2)), np.ones((B, 14, 1))], 2)
+                .astype(np.float32)),
+            "joints3d": jnp.asarray(j3d),
+            "has_3d": jnp.ones((B,)),
+            "theta": jnp.asarray(theta),
+            "beta": jnp.asarray(beta),
+            "has_smpl": jnp.ones((B,)),
+        }
+        config = T.TrainConfig(
+            crop_size=32, aug_rot_max=0.4, aug_flip=True,
+            aug_rot_mode="bucket", aug_rot_buckets=8,
+        )
+        crops, kp2d, vis, j3d_aug, theta_aug = T._device_preprocess(
+            config, batch, jax.random.key(11)
+        )
+        redecoded = smpl_forward(params, theta_aug, jnp.asarray(beta))
+        pred = np.asarray(redecoded.eval_joints)
+        pred = pred - pred.mean(axis=1, keepdims=True)
+        target = np.asarray(j3d_aug)
+        target = target - target.mean(axis=1, keepdims=True)
+        np.testing.assert_allclose(pred, target, atol=1e-4)
+        # angle diversity: recover implied per-sample rotations
+        angs = []
+        for b in range(B):
+            a, o = j3d[b, :, :2], target[b, :, :2]
+            num = np.sum(a[:, 0] * o[:, 1] - a[:, 1] * o[:, 0])
+            den = np.sum(a[:, 0] * o[:, 0] + a[:, 1] * o[:, 1])
+            angs.append(np.arctan2(num, den))
+        assert np.ptp(angs) > 0.05, angs
