@@ -53,6 +53,9 @@ def main() -> None:
     ap.add_argument("--smpl", choices=["xla", "pallas"], default="pallas")
     ap.add_argument("--no_adversarial", action="store_true")
     ap.add_argument("--no_aug", action="store_true")
+    ap.add_argument("--rot_mode", choices=["batch", "bucket"], default="batch",
+                    help="rotation aug: one shared angle/step (batch) or "
+                         "per-sample angles on an 8-point grid (bucket)")
     ap.add_argument("--echo", type=int, default=1, help="data echo factor")
     ap.add_argument("--out", default="/tmp/gen_run")
     ap.add_argument("--save_checkpoint", action="store_true",
@@ -119,6 +122,7 @@ def main() -> None:
         g_lr=args.g_lr,
         use_adversarial=not args.no_adversarial,
         aug_rot_max=0.0 if args.no_aug else 0.35,
+        aug_rot_mode=args.rot_mode,
         aug_scale_jitter=0.0 if args.no_aug else 0.15,
         aug_flip=not args.no_aug,
         hmr=HMRConfig(encoder_dtype=dtype),
