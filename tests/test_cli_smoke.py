@@ -209,7 +209,7 @@ class TestCLISmoke:
         """All round-3 training flags through the real CLI in one run:
         dataset-derived mean seed (persisted for inference), cosine lr
         schedule (decay_steps auto-filled), full augmentation incl. the
-        MXU batch-rotation path."""
+        MXU per-sample bucket-rotation path."""
         r = run_cli(
             "train",
             [
@@ -219,6 +219,8 @@ class TestCLISmoke:
                 "--mean_params=mosh",
                 "--train.lr_schedule=cosine",
                 "--train.aug_rot_max=0.3",
+                "--train.aug_rot_mode=bucket",
+                "--train.aug_rot_buckets=4",
                 "--train.aug_scale_jitter=0.1",
                 "--train.aug_flip=true",
                 "--data.batch_size=2",
