@@ -54,6 +54,10 @@ def main() -> None:
     ap.add_argument("--mask", type=int, default=224)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cap", type=int, default=1024)
+    ap.add_argument("--span", type=int, default=0,
+                    help="tiled binning span (0 = full grid, the safe "
+                         "default; 3 = fast path for small faces)")
+    ap.add_argument("--modes", type=str, default="tiled,dense")
     args = ap.parse_args()
 
     from human_3d_reconstruction_tpu.fitting import refine_params
@@ -83,12 +87,13 @@ def main() -> None:
     )
 
     rows = []
-    for mode in ("tiled", "dense"):
+    for mode in args.modes.split(","):
         def run(theta=theta, mode=mode):
             out = refine_params(
                 jparams, theta, beta, cam, kp2d, vis,
                 num_steps=args.steps, masks=masks, lambda_mask=1.0,
                 mask_raster=mode, mask_tile_cap=args.cap,
+                mask_tile_span=args.span,
             )
             return float(out.loss_history[-1])  # scalar readback sync
 

@@ -147,10 +147,12 @@ def main(argv: list[str]) -> None:
     out_path = own.get("out", "demo_overlay.png")
     # An extension-less --out (or an existing directory) would make
     # cv2.imwrite fail AFTER the whole recovery ran — resolve it to a png.
+    # Anything WITH an extension is passed through to cv2.imwrite as-is
+    # (it supports more formats than we could whitelist: tiff, webp, ...).
     p = Path(out_path)
-    if p.is_dir() or p.suffix.lower() not in (".png", ".jpg", ".jpeg", ".bmp"):
-        p.mkdir(parents=True, exist_ok=True) if not p.suffix else None
+    if p.is_dir() or not p.suffix:
         p = (p / "demo_overlay.png") if p.is_dir() else p.with_suffix(".png")
+        echo(f"--out has no image extension; writing {p}")
     out_path = str(p)
     p.parent.mkdir(parents=True, exist_ok=True)
     import cv2

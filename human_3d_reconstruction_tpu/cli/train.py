@@ -98,7 +98,12 @@ def main(argv: list[str]) -> None:
 
     mean_params = resolve_mean_params(config.mean_params, config.checkpoint_dir, mosh)
     if mean_params is not None:
-        echo(f"IEF seed: mean over {len(mosh.thetas)} mosh poses "
+        src = (
+            f"mean over {len(mosh.thetas)} mosh poses"
+            if config.mean_params == "mosh"
+            else f"loaded from {config.mean_params}"
+        )
+        echo(f"IEF seed: {src} "
              f"(|theta|={np.linalg.norm(mean_params[:72]):.3f})")
 
     # states + step

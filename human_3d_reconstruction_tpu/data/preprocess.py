@@ -256,6 +256,21 @@ def shear_rotate(crops: jax.Array, rot: jax.Array) -> jax.Array:
     return _shear_x(out, a * ys)
 
 
+def _rot_window_size(out_size: int, margin: float) -> int:
+    """Oversized-window side for the shear-rotate crops.
+
+    Must satisfy Sp >= out_size * margin AND (Sp - out_size) even: the
+    final center-crop offset is (Sp - S) // 2, and `shear_rotate` rotates
+    about (Sp - 1) / 2 — an odd difference would put the S-window 0.5 px
+    off the rotation center, silently misaligning the image against the
+    keypoint/theta transforms (which rotate about the exact crop center).
+    """
+    import math
+
+    extra = max(0, math.ceil(out_size * margin) - out_size)
+    return out_size + extra + (extra % 2)
+
+
 def rotated_separable_crop(
     images: jax.Array,
     centers: jax.Array,
@@ -268,10 +283,12 @@ def rotated_separable_crop(
     """MXU rotation-augmentation crop: separable crop to an oversized
     window, 3-shear rotate by the batch-shared angle, center-crop.
 
-    The window side is `ceil(out * margin)` rounded to even (margin 1.30
-    covers |rot| <= ~0.45 rad: cos + sin <= 1.296) so rotated corners stay
-    inside resampled content. Matches `affine_crop`'s geometry (same
-    source box, same zero padding) with multi-pass bilinear resampling.
+    The window side is `ceil(out * margin)` with same-parity padding
+    (margin 1.30 covers |rot| <= ~0.45 rad: cos + sin <= 1.296) so rotated
+    corners stay inside resampled content and the center-crop lands
+    exactly on the rotation center for even AND odd out_size. Matches
+    `affine_crop`'s geometry (same source box, same zero padding) with
+    multi-pass bilinear resampling.
 
     Flip does not commute with rotation, and flips are per-sample while
     the shear angle is batch-shared — so the crop runs UNflipped, and the
@@ -279,7 +296,7 @@ def rotated_separable_crop(
     about the crop center is an integer-index reverse).
     """
     S = out_size
-    Sp = int(2 * (-(-int(S * margin) // 2)))  # even oversized window
+    Sp = _rot_window_size(S, margin)
     big = jax.vmap(partial(separable_crop, out_size=Sp))(
         images, centers, scales * (Sp / S), jnp.zeros_like(scales)
     )
@@ -315,7 +332,7 @@ def bucket_rotated_separable_crop(
             traced). assign: (B,) int32 bucket index per sample.
     """
     S = out_size
-    Sp = int(2 * (-(-int(S * margin) // 2)))
+    Sp = _rot_window_size(S, margin)
     big = jax.vmap(partial(separable_crop, out_size=Sp))(
         images, centers, scales * (Sp / S), jnp.zeros_like(scales)
     )

@@ -145,8 +145,15 @@ def pck3d(errors_mm: jax.Array, threshold_mm: float = 150.0) -> jax.Array:
 def auc3d(
     errors_mm: jax.Array, max_threshold_mm: float = 150.0, steps: int = 30
 ) -> jax.Array:
-    """3DHP AUC: mean PCK3D over thresholds (0, max] in `steps` bins."""
-    ts = jnp.linspace(max_threshold_mm / steps, max_threshold_mm, steps)
+    """3DHP AUC: mean PCK3D over the official threshold grid 0:5:150.
+
+    The reference protocol (mpii_compute_3d_pck) averages over the
+    `steps`+1 thresholds {0, 5, ..., max} INCLUDING t=0, whose strict
+    `<` comparison contributes exactly 0 — so a perfect reconstruction
+    scores steps/(steps+1), not 1.0. Matching the grid keeps reported
+    AUC comparable to published 3DHP numbers.
+    """
+    ts = jnp.linspace(0.0, max_threshold_mm, steps + 1)
     return jnp.mean(
         (errors_mm[..., None] < ts).astype(jnp.float32)
     )

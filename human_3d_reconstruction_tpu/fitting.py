@@ -57,6 +57,7 @@ def refine_params(
     mask_sharpness: float = 2.0,
     mask_raster: str = "dense",
     mask_tile_cap: int = 2048,
+    mask_tile_span: int = 0,
 ) -> FitResult:
     """Refine (theta, beta, cam) to the observed 2D keypoints.
 
@@ -77,6 +78,14 @@ def refine_params(
             real SMPL topology; no dense fallback since the render is
             vmapped over persons, so `mask_tile_cap` must cover the
             densest screen tile — generous at 2048 for SMPL).
+        mask_tile_span: max face-bbox extent in tiles for the tiled
+            binning; 0 (default) = the full tile grid, which makes
+            silent span-truncation impossible for ANY triangle size at a
+            measured ~14% step cost (v5e, B=2 @224^2, same session:
+            1.44 vs 1.26 s/body). Set 3 for the fast path when the
+            projected faces are known small (a few px + the 8 px soft
+            band) — faces wider than span tiles would be silently
+            truncated.
 
     Returns FitResult; jit-safe (static num_steps).
     """
@@ -100,12 +109,24 @@ def refine_params(
             # (224^2, 13.8k faces, B=2, grad): cap1024/chunk256 32.7
             # ms/step vs cap1024/chunk1024 17.8 vs cap512/chunk512 11.8 —
             # the backward of a multi-step scan costs more than the larger
-            # single-step lattice.
+            # single-step lattice. span covers the FULL tile grid: with
+            # the dense fallback off (vmap over persons), a face bbox
+            # wider than span tiles would otherwise be silently truncated
+            # to its first span x span tiles (e.g. close-up torso
+            # triangles, or a transiently exploded cam mid-optimization);
+            # full span makes cap the only overflow source, and that one
+            # is sized by `mask_tile_cap`.
+            from human_3d_reconstruction_tpu.viz.tiled_raster import DEFAULT_TILE
+
+            span = mask_tile_span or max(
+                -(-Hm // DEFAULT_TILE), -(-Wm // DEFAULT_TILE)
+            )
             render_sil = partial(
                 soft_silhouette_tiled,
                 cap=mask_tile_cap,
                 chunk=mask_tile_cap,
                 fallback=False,
+                span=span,
             )
         else:
             from human_3d_reconstruction_tpu.viz.device_raster import soft_silhouette

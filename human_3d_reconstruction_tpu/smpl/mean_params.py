@@ -115,20 +115,31 @@ def resolve_mean_params(
     """Config-level resolution of the IEF seed.
 
     spec: '' -> None (neutral default seed); 'mosh' -> compute from the
-    given MoshParamSource pool and persist to the checkpoint dir; any other
-    string -> load that npz. Inference callers pass spec='' and rely on
-    `maybe_load_mean_params`.
+    given MoshParamSource pool; any other string -> load that npz.
+
+    Whatever seed training resolves is mirrored into the checkpoint dir's
+    canonical `mean_params.npz` (and a STALE one from an earlier run is
+    REMOVED for spec=''), because inference CLIs unconditionally restore
+    that file — the checkpoint's weights are only meaningful against the
+    seed they were trained with.
     """
+    canonical = mean_params_file(checkpoint_dir)
     if not spec:
+        # Training with the neutral seed: a leftover mean_params.npz from a
+        # previous run in the same dir would silently re-seed inference.
+        if canonical.exists():
+            canonical.unlink()
         return None
     if spec == "mosh":
         if mosh is None:
             raise ValueError("mean_params='mosh' needs a mosh source")
         mean = mean_params_from_pool(mosh.thetas, mosh.betas)
-        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
-        save_mean_params(mean_params_file(checkpoint_dir), mean)
-        return mean
-    return load_mean_params(spec)
+    else:
+        mean = load_mean_params(spec)
+    Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+    if not (spec != "mosh" and Path(spec).resolve() == canonical.resolve()):
+        save_mean_params(canonical, mean)
+    return mean
 
 
 def maybe_load_mean_params(checkpoint_dir: str | Path) -> np.ndarray | None:

@@ -107,7 +107,12 @@ def create_states(
     gen_vars = model.init(g_rng, dummy)
     disc_vars = disc.init(d_rng, jnp.zeros((1, 72)), jnp.zeros((1, 10)))
 
-    if config.lr_schedule == "cosine" and config.lr_decay_steps > 0:
+    if config.lr_schedule == "cosine":
+        if config.lr_decay_steps <= 0:
+            raise ValueError(
+                "lr_schedule='cosine' needs lr_decay_steps > 0 (cli/train "
+                "auto-fills it from total_steps; direct callers must set it)"
+            )
         g_lr = optax.cosine_decay_schedule(
             config.g_lr, config.lr_decay_steps, alpha=0.05
         )
@@ -421,7 +426,7 @@ def restore_inference_variables(mgr, variables_template):
     # The adamw opt-state STRUCTURE depends on whether training used an lr
     # schedule (scale_by_schedule carries a step count; a constant lr does
     # not), and Orbax matches trees strictly — try both skeletons.
-    last_err = None
+    errs = []
     for tx in (
         optax.adamw(1e-4),
         optax.adamw(optax.cosine_decay_schedule(1e-4, 1)),
@@ -441,8 +446,13 @@ def restore_inference_variables(mgr, variables_template):
             )["gen"]
             return {"params": restored.params, "batch_stats": restored.batch_stats}, step
         except Exception as e:  # tree-structure mismatch: try the next form
-            last_err = e
-    raise last_err
+            errs.append(e)
+    # Both skeletons failed: this is NOT the known structure ambiguity (one
+    # of them always matches a healthy checkpoint) — surface the FIRST
+    # error, which points at the real cause (corrupt/partial checkpoint,
+    # I/O failure), instead of the second attempt's misleading
+    # structure-mismatch message.
+    raise errs[0] from errs[1]
 
 
 def restore_latest(mgr, gen_template: GenState, disc_template: DiscState):

@@ -203,10 +203,14 @@ def overlay_meshes_device(
         verts_px: (P, V, 3) pixel-space vertices per person.
         faces: (F, 3) shared topology.
         colors: (P, 3) RGB per person.
+        chunk: triangles per scan step; 0 = auto (dense) / single-step
+            (tiled). Forwarded to whichever rasterizer runs.
         tiled: route through the two-level tiled rasterizer (default —
             46.9 vs 225.6 ms at 480p/27.5k local tris on v5e; exact:
             overflow and non-local topologies fall back to the dense path
-            inside the program via lax.cond).
+            inside the program via lax.cond, paying binning + dense — for
+            a topology KNOWN to be non-local, pass tiled=False to skip
+            the wasted binning).
     Returns (H, W, 3). Inter-person occlusion is exact (one z-buffer),
     unlike the host path's sequential painter blending.
     """
@@ -220,7 +224,7 @@ def overlay_meshes_device(
         from human_3d_reconstruction_tpu.viz.tiled_raster import rasterize_scene_tiled
 
         _, sh, col, hit = rasterize_scene_tiled(
-            flat, all_faces, shade, face_col, H, W
+            flat, all_faces, shade, face_col, H, W, chunk=chunk
         )
     else:
         _, sh, col, hit = rasterize_scene(

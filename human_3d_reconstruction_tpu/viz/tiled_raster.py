@@ -66,6 +66,10 @@ DEFAULT_CAP = 1024
 # depth 11.5 -> 10.4 ms, and the soft GRADIENT 32.7 -> 17.8 ms (multi-step
 # scan backwards cost more than the larger single-step lattice).
 DEFAULT_CHUNK = 0
+# Max bbox extent in tiles per axis before a face trips span overflow; 3
+# covers SMPL-scale triangles (2-6 px + the 8 px soft band) at tile 32.
+# Callers that disable the dense fallback should raise it to the full grid.
+DEFAULT_SPAN = 3
 
 
 def _ceil_mult(x: int, m: int) -> int:
@@ -163,7 +167,8 @@ def _grid(height: int, width: int, tile: int) -> tuple[int, int, int, int]:
 
 
 @partial(
-    jax.jit, static_argnames=("height", "width", "tile", "cap", "chunk", "fallback")
+    jax.jit,
+    static_argnames=("height", "width", "tile", "cap", "chunk", "fallback", "span"),
 )
 def rasterize_depth_tiled(
     verts_px: jax.Array,
@@ -174,6 +179,7 @@ def rasterize_depth_tiled(
     cap: int = DEFAULT_CAP,
     chunk: int = DEFAULT_CHUNK,  # 0 = cap (single scan step)
     fallback: bool = True,
+    span: int = DEFAULT_SPAN,
 ) -> jax.Array:
     """Depth-only tiled rasterization: (H, W) min-z, +inf where empty.
 
@@ -184,12 +190,16 @@ def rasterize_depth_tiled(
     function should use it (vmap turns `lax.cond` into a select that runs
     BOTH branches, erasing the tiled win) after sizing `cap` for their
     workload — overflowing tiles then silently drop the excess triangles.
+    Such callers should ALSO raise `span` to `max(ceil(H/tile),
+    ceil(W/tile))` (the full grid) so bbox-span overflow — the other
+    silent-drop source — is impossible by construction; candidate count
+    grows as span^2 but the masked sort stays cheap.
     """
     H, W = height, width
     chunk = chunk or cap
     th, tw, Hp, Wp = _grid(H, W, tile)
     tri = verts_px[faces]  # (F, 3, 3)
-    idx, validk, overflow = _tile_bins(tri, th, tw, tile, cap, expand=0.0)
+    idx, validk, overflow = _tile_bins(tri, th, tw, tile, cap, expand=0.0, span=span)
     pxf, pyf = _tile_pixel_rows(th, tw, tile)  # (T, ts^2)
 
     tri_g = tri[idx]  # (T, K, 3, 3)
@@ -234,7 +244,8 @@ def rasterize_depth_tiled(
 @partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "sharpness", "tile", "cap", "chunk", "trunc_px", "fallback",
+        "height", "width", "sharpness", "tile", "cap", "chunk", "trunc_px",
+        "fallback", "span",
     ),
 )
 def soft_silhouette_tiled(
@@ -248,6 +259,7 @@ def soft_silhouette_tiled(
     chunk: int = DEFAULT_CHUNK,  # 0 = cap (single scan step)
     trunc_px: float = 8.0,
     fallback: bool = True,
+    span: int = DEFAULT_SPAN,
 ) -> jax.Array:
     """Differentiable silhouette over tiles — same truncated-SoftRas
     semantics as `soft_silhouette` (identical `trunc_px` bbox band applied
@@ -260,7 +272,9 @@ def soft_silhouette_tiled(
     chunk = chunk or cap
     th, tw, Hp, Wp = _grid(H, W, tile)
     tri = verts_px[faces].astype(jnp.float32)
-    idx, validk, overflow = _tile_bins(tri, th, tw, tile, cap, expand=trunc_px)
+    idx, validk, overflow = _tile_bins(
+        tri, th, tw, tile, cap, expand=trunc_px, span=span
+    )
     pxf, pyf = _tile_pixel_rows(th, tw, tile)
 
     tri_g = tri[idx]
@@ -301,7 +315,9 @@ def soft_silhouette_tiled(
     return (1.0 - jnp.exp(log_miss))[:H, :W]
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile", "cap", "chunk"))
+@partial(
+    jax.jit, static_argnames=("height", "width", "tile", "cap", "chunk", "span")
+)
 def rasterize_scene_tiled(
     verts_px: jax.Array,
     faces: jax.Array,
@@ -312,6 +328,7 @@ def rasterize_scene_tiled(
     tile: int = DEFAULT_TILE,
     cap: int = DEFAULT_CAP,
     chunk: int = DEFAULT_CHUNK,  # 0 = cap (single scan step)
+    span: int = DEFAULT_SPAN,
 ):
     """Tiled twin of `rasterize_scene`: (depth, shade, color, hit) buffers.
 
@@ -323,7 +340,7 @@ def rasterize_scene_tiled(
     chunk = chunk or cap
     th, tw, Hp, Wp = _grid(H, W, tile)
     tri = verts_px[faces]
-    idx, validk, overflow = _tile_bins(tri, th, tw, tile, cap, expand=0.0)
+    idx, validk, overflow = _tile_bins(tri, th, tw, tile, cap, expand=0.0, span=span)
     pxf, pyf = _tile_pixel_rows(th, tw, tile)
 
     tri_g = jnp.where(validk[:, :, None, None], tri[idx], 0.0)  # (T, K, 3, 3)

@@ -100,6 +100,28 @@ class TestPersistenceAndWiring:
         with pytest.raises(ValueError):
             resolve_mean_params("mosh", tmp_path, None)
 
+    def test_resolve_mirrors_and_clears_the_canonical_seed(self, tmp_path, rng):
+        """Inference unconditionally restores <ckpt>/mean_params.npz, so
+        training must keep that file in sync with the seed it actually
+        used: a path spec mirrors into the dir, and the neutral '' spec
+        REMOVES a stale seed left by an earlier run."""
+        from human_3d_reconstruction_tpu.data.datasets import MoshParamSource
+
+        mosh = MoshParamSource(
+            rng.normal(scale=0.3, size=(32, 72)).astype(np.float32),
+            rng.normal(size=(32, 10)).astype(np.float32),
+        )
+        # external npz spec -> mirrored into the checkpoint dir
+        ext_dir = tmp_path / "elsewhere"
+        mean = resolve_mean_params("mosh", ext_dir, mosh)
+        ckpt = tmp_path / "ckpt"
+        got = resolve_mean_params(str(mean_params_file(ext_dir)), ckpt)
+        np.testing.assert_array_equal(got, mean)
+        np.testing.assert_array_equal(maybe_load_mean_params(ckpt), mean)
+        # retrain in the same dir with the neutral seed -> stale file gone
+        assert resolve_mean_params("", ckpt) is None
+        assert maybe_load_mean_params(ckpt) is None
+
     def test_mean_changes_iteration0_output(self, smpl_model, rng):
         """create_states(mean_params=...) must propagate to the regressor:
         iteration-0 params of the two seeds differ by ~the seed difference."""

@@ -123,8 +123,16 @@ class Test3DHPProtocolMetrics:
         a_small = float(auc3d(small))
         a_large = float(auc3d(large))
         assert 0.0 <= a_large < a_small <= 1.0
-        # all-zero errors -> AUC exactly 1
-        assert float(auc3d(jnp.zeros((4, 14)))) == 1.0
+        # official grid includes t=0 (strict <, contributes 0): perfect
+        # reconstruction scores 30/31, matching mpii_compute_3d_pck
+        np.testing.assert_allclose(
+            float(auc3d(jnp.zeros((4, 14)))), 30 / 31, atol=1e-6
+        )
+        # hand-computed: constant 7.5mm error clears thresholds 10..150
+        # (29 of 31 grid points)
+        np.testing.assert_allclose(
+            float(auc3d(jnp.full((2, 14), 7.5))), 29 / 31, atol=1e-6
+        )
 
     def test_run_protocol_reports_3dhp_metrics(self, smpl_model):
         from human_3d_reconstruction_tpu.eval.protocol import (
@@ -139,6 +147,6 @@ class Test3DHPProtocolMetrics:
         self._gt = batches[0].gt_joints3d
         report = run_protocol(perfect, iter(batches))
         assert report.pck3d_150 == 1.0
-        assert report.auc3d == 1.0
+        np.testing.assert_allclose(report.auc3d, 30 / 31, atol=1e-6)
         assert "PCK3D@150mm" in report.table()
         assert "pck3d_150" in report.to_json()

@@ -233,6 +233,36 @@ class TestShearRotateCrop:
                     atol=5e-4, err_msg=f"rot={rot} flips={flips}",
                 )
 
+    def test_exact_on_affine_images_odd_size(self):
+        """ODD out_size: the oversized window must pad by an even amount so
+        the center-crop lands exactly on the shear-rotation center — a
+        forced-even window puts odd sizes 0.5 px off (failed before
+        `_rot_window_size`)."""
+        from functools import partial
+
+        from human_3d_reconstruction_tpu.data.preprocess import (
+            affine_crop,
+            rotated_separable_crop,
+        )
+
+        B, H, W, S = 2, 128, 128, 65
+        imgs = jnp.asarray(self._affine_images(B, H, W))
+        centers = jnp.tile(jnp.asarray([[64.0, 64.0]]), (B, 1))
+        scales = jnp.full((B,), 60.0)
+        fl = jnp.asarray([0.0, 1.0])
+        for rot in (0.3, -0.2):
+            ref = jax.vmap(partial(affine_crop, out_size=S))(
+                imgs, centers, scales, jnp.full((B,), rot), fl
+            )
+            got = rotated_separable_crop(
+                imgs, centers, scales, jnp.asarray(rot), fl, out_size=S
+            )
+            np.testing.assert_allclose(
+                np.asarray(got)[:, 8:-8, 8:-8],
+                np.asarray(ref)[:, 8:-8, 8:-8],
+                atol=5e-4, err_msg=f"rot={rot}",
+            )
+
     def test_blob_lands_on_transformed_keypoint(self, rng):
         """Geometric alignment: a Gaussian blob at source point p must
         appear at transform_keypoints(p) in the rotated crop."""

@@ -195,6 +195,21 @@ class TestVmappedTiled:
         )
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense), atol=1e-5)
 
+    def test_full_span_no_fallback_handles_wide_triangles(self, rng):
+        """With the dense fallback off (the fitting usage), a face bbox
+        wider than the default 3-tile span must NOT be silently truncated:
+        passing the full-grid span makes the binned result equal dense for
+        ANY triangle size (fails on the pre-span-parameter code, which
+        dropped the overflowing faces' far tiles)."""
+        v, f = _random_mesh(rng, n_verts=40, n_faces=60)  # huge triangles
+        span_full = max(-(-H // 16), -(-W // 16))  # 8 for 96x128 @ tile 16
+        tiled = soft_silhouette_tiled(
+            v, f, H, W, sharpness=1.0, tile=16, cap=128,
+            fallback=False, span=span_full,
+        )
+        dense = soft_silhouette(v, f, H, W, sharpness=1.0)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense), atol=1e-5)
+
     def test_fitting_mask_raster_tiled(self, smpl_model, rng):
         """refine_params(mask_raster='tiled') on a LOCAL topology matches
         the dense mask objective's refinement."""
