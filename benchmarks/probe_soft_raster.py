@@ -127,6 +127,15 @@ def main() -> None:
 
     timed("fwd+bwd", jax.grad(loss), vj)
 
+    # 4b. fwd+bwd with the sort-based (scatter-free) gather VJP
+    def loss_sorted(vv):
+        s = soft_silhouette_tiled(vv, faces, H, W, sharpness=2.0,
+                                  cap=args.cap, fallback=False,
+                                  span=args.span, sorted_grad=True)
+        return jnp.mean((s - target) ** 2)
+
+    timed("fwd+bwd(sorted-vjp)", jax.grad(loss_sorted), vj)
+
     # 5. gather backward in isolation: scatter-add of (T*K, 3, 3) into V
     T = th * tw
     idx_static, valid_static, _ = jax.jit(

@@ -245,7 +245,7 @@ def rasterize_depth_tiled(
     jax.jit,
     static_argnames=(
         "height", "width", "sharpness", "tile", "cap", "chunk", "trunc_px",
-        "fallback", "span",
+        "fallback", "span", "sorted_grad",
     ),
 )
 def soft_silhouette_tiled(
@@ -260,6 +260,7 @@ def soft_silhouette_tiled(
     trunc_px: float = 8.0,
     fallback: bool = True,
     span: int = DEFAULT_SPAN,
+    sorted_grad: bool = False,
 ) -> jax.Array:
     """Differentiable silhouette over tiles — same truncated-SoftRas
     semantics as `soft_silhouette` (identical `trunc_px` bbox band applied
@@ -267,17 +268,39 @@ def soft_silhouette_tiled(
     exactly `trunc_px`, so every (pixel, face) pair the dense path keeps is
     present in the pixel's tile bin — equality is by construction, not by
     tolerance. Overflow falls back to the dense soft path.
+
+    `sorted_grad=True` routes the two gathers (verts->faces, faces->bins)
+    through `ops.segment_ops.gather_rows`: identical forward, backward via
+    sort-based segment sums instead of XLA's scatter-adds (the scatter was
+    measured at ~4.6 of the 8 ms gradient — BASELINE.md soft-raster
+    attribution). Gradients match the scatter path to fp tolerance.
     """
     H, W = height, width
     chunk = chunk or cap
     th, tw, Hp, Wp = _grid(H, W, tile)
-    tri = verts_px[faces].astype(jnp.float32)
+    if sorted_grad:
+        from human_3d_reconstruction_tpu.ops.segment_ops import gather_rows
+
+        take = gather_rows
+    else:
+        take = lambda t, i, _mr=0: t[i]
+    tri = take(verts_px, faces).astype(jnp.float32)
     idx, validk, overflow = _tile_bins(
         tri, th, tw, tile, cap, expand=trunc_px, span=span
     )
     pxf, pyf = _tile_pixel_rows(th, tw, tile)
 
-    tri_g = tri[idx]
+    if sorted_grad:
+        # A face emits at most span^2 bin candidates by construction —
+        # but the (T, K) bin PADDING repeats arbitrary face ids, so route
+        # padded slots to a zero sentinel row to keep that bound true for
+        # every real face (the sentinel's over-long segment is discarded
+        # with its gradient; its rows are zero so values are unchanged).
+        tri_pad = jnp.concatenate([tri, jnp.zeros((1, 3, 3), tri.dtype)])
+        idx_m = jnp.where(validk, idx, tri.shape[0])
+        tri_g = take(tri_pad, idx_m, span * span)
+    else:
+        tri_g = tri[idx]
     tri_g = jnp.where(validk[:, :, None, None], tri_g, 0.0)
     nk = _ceil_mult(cap, chunk) // chunk
     pad = nk * chunk - cap
