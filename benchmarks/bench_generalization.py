@@ -242,6 +242,14 @@ def main() -> None:
         )
         step += 1
         imgs_done += args.batch
+        if step % 200 == 0:
+            # Bound the async dispatch queue: without a periodic sync the
+            # runner enqueues every step between evals, pinning each
+            # queued batch's host buffers (~12 MB each -> tens of GB over
+            # a 2000-step eval interval; observed as unbounded RSS growth
+            # and paging stalls on 40k-step runs). One scalar readback per
+            # 200 steps costs ~one tunnel round-trip (~27 ms).
+            float(metrics["loss_g"])
 
         if step % args.eval_every == 0 or step == args.steps:
             m = {k: float(v) for k, v in metrics.items()}  # sync point

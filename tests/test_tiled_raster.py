@@ -195,6 +195,28 @@ class TestVmappedTiled:
         )
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense), atol=1e-5)
 
+    def test_sorted_grad_matches_scatter_grad(self):
+        """sorted_grad=True: identical forward, gradients equal to the
+        scatter-VJP path (summation-order fp noise aside)."""
+        v, f = _sphere_px(rows=10, cols=14)
+        target = jnp.zeros((H, W))
+
+        def loss(vv, sorted_grad):
+            s = soft_silhouette_tiled(
+                vv, f, H, W, sharpness=2.0, cap=512,
+                fallback=False, sorted_grad=sorted_grad,
+            )
+            return jnp.mean((s - target) ** 2)
+
+        s_a = soft_silhouette_tiled(v, f, H, W, sharpness=2.0, cap=512,
+                                    fallback=False, sorted_grad=False)
+        s_b = soft_silhouette_tiled(v, f, H, W, sharpness=2.0, cap=512,
+                                    fallback=False, sorted_grad=True)
+        np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+        g_a = np.asarray(jax.grad(lambda x: loss(x, False))(v))
+        g_b = np.asarray(jax.grad(lambda x: loss(x, True))(v))
+        np.testing.assert_allclose(g_b, g_a, atol=2e-6)
+
     def test_full_span_no_fallback_handles_wide_triangles(self, rng):
         """With the dense fallback off (the fitting usage), a face bbox
         wider than the default 3-tile span must NOT be silently truncated:
