@@ -49,7 +49,7 @@ def main() -> None:
     )
 
     H = W = args.size
-    V = args.faces // 2
+    V = -(-args.faces // 2)  # ceil: concat([f1, f2]) must cover args.faces
     rng = np.random.default_rng(0)
     v = np.stack(
         [rng.uniform(10, W - 10, V), rng.uniform(10, H - 10, V),

@@ -105,8 +105,14 @@ def _gather_rows_bwd(max_repeats, res, g):
     idx, tshape = res
     M = tshape[0]
     row = math.prod(tshape[1:]) if len(tshape) > 1 else 1
+    # Match the forward gather's index semantics so gradients land on the
+    # rows the forward actually read: negatives wrap once (numpy-style),
+    # then out-of-range clamps (XLA's jitted-gather behavior). Without
+    # this, sorted_segment_sum would silently DROP ids outside [0, M).
+    ids = idx.reshape(-1).astype(jnp.int32)
+    ids = jnp.clip(jnp.where(ids < 0, ids + M, ids), 0, M - 1)
     dtab = sorted_segment_sum(
-        g.reshape(-1, row), idx.reshape(-1), M, max_segment=max_repeats
+        g.reshape(-1, row), ids, M, max_segment=max_repeats
     ).reshape(tshape)
     return dtab, None
 

@@ -67,6 +67,22 @@ class TestGatherRows:
         g_sorted = np.asarray(jax.grad(f_sorted)(jnp.asarray(table)))
         np.testing.assert_allclose(g_sorted, g_plain, atol=2e-5)
 
+    def test_gradient_with_negative_indices(self, rng):
+        """table[idx] accepts negative indices (numpy wrap); the custom
+        VJP must route their gradients to the wrapped rows instead of
+        silently dropping them (failed pre-fix)."""
+        table = rng.normal(size=(6, 2)).astype(np.float32)
+        idx = np.asarray([-1, 2, -6, 5], np.int32)
+        cot = rng.normal(size=(4, 2)).astype(np.float32)
+
+        g_plain = np.asarray(jax.grad(
+            lambda t: jnp.vdot(t[jnp.asarray(idx)], jnp.asarray(cot))
+        )(jnp.asarray(table)))
+        g_sorted = np.asarray(jax.grad(
+            lambda t: jnp.vdot(gather_rows(t, jnp.asarray(idx)), jnp.asarray(cot))
+        )(jnp.asarray(table)))
+        np.testing.assert_allclose(g_sorted, g_plain, atol=1e-6)
+
     def test_grad_under_vmap(self, rng):
         """The fitting path vmaps the render over persons — the custom VJP
         must batch correctly."""
