@@ -62,6 +62,9 @@ class RunConfig:
     fit_steps: int = 0         # >0: SMPLify-style test-time refinement steps
     seed: int = 0
     total_steps: int = 10000
+    # Also the async-dispatch sync cadence: each logged step reads metrics
+    # back, bounding the queued steps (every queued step pins its host
+    # batch ~12 MB; thousands of unsynced steps = tens of GB RSS).
     log_every: int = 50
     save_every: int = 1000
     data: DataConfig = DataConfig()
