@@ -48,6 +48,10 @@ def get_cpu_baseline(smpl_model) -> float:
 
 
 def main() -> None:
+    from human_3d_reconstruction_tpu.utils.tunnel import check_tpu_tunnel
+
+    check_tpu_tunnel()  # fail in seconds, not hang, if the relay died
+
     import numpy as np
     import jax
     import jax.numpy as jnp

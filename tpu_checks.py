@@ -36,6 +36,10 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
+    from human_3d_reconstruction_tpu.utils.tunnel import check_tpu_tunnel
+
+    check_tpu_tunnel()  # fail in seconds, not hang, if the relay died
+
     import numpy as np
     import torch
     import jax
