@@ -106,9 +106,13 @@ class AnnotationDataset:
             j3d = self.joints3d[i][self.kp3d_table]
             j3d = (j3d - j3d.mean(axis=0, keepdims=True)).astype(np.float32)
             has_3d = np.float32(1.0)
-        theta = self.thetas[i] if (self.has_smpl_gt and self.thetas is not None) else np.zeros(72, np.float32)
-        beta = self.betas[i] if (self.has_smpl_gt and self.betas is not None) else np.zeros(10, np.float32)
-        has_smpl = np.float32(1.0 if (self.has_smpl_gt and self.thetas is not None) else 0.0)
+        # SMPL GT needs BOTH theta and beta: an index with thetas but no
+        # betas must not mark has_smpl, or the param loss would supervise
+        # beta toward the zero vector it never annotated.
+        smpl_ok = self.has_smpl_gt and self.thetas is not None and self.betas is not None
+        theta = self.thetas[i] if smpl_ok else np.zeros(72, np.float32)
+        beta = self.betas[i] if smpl_ok else np.zeros(10, np.float32)
+        has_smpl = np.float32(1.0 if smpl_ok else 0.0)
         return Record(
             image=_read_image(self.image_root / self.image_paths[i]),
             center=self.centers[i],

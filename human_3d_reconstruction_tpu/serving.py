@@ -203,6 +203,10 @@ class MeshRecoverySession:
         program is unchanged, only the transfer shrinks.
         """
         boxes = np.atleast_2d(np.asarray(boxes, np.float32))
+        if boxes.size == 0:  # detector found nobody: no work, no program
+            return []
+        if boxes.shape[-1] != 3:
+            raise ValueError(f"boxes must be (N, 3) [cx, cy, scale], got {boxes.shape}")
         return self._to_results(self._run(frame, boxes), boxes, fields)
 
     def recover_batch(

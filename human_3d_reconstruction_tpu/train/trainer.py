@@ -148,6 +148,13 @@ def _device_preprocess(config: TrainConfig, batch: dict, rng: jax.Array):
     """
     batch = {**batch, "images": batch["images"].astype(jnp.float32)}
     B = batch["images"].shape[0]
+    if config.aug_rot_mode not in ("batch", "bucket", "sample"):
+        # A typo here would otherwise fall through to the 395 ms/step
+        # per-sample gather path silently (the modes differ 90x in cost).
+        raise ValueError(
+            f"aug_rot_mode must be 'batch' | 'bucket' | 'sample', "
+            f"got {config.aug_rot_mode!r}"
+        )
     r_rot, r_scale, r_flip = jax.random.split(rng, 3)
 
     if config.aug_rot_max > 0 and config.aug_rot_mode == "batch":

@@ -152,6 +152,31 @@ class TestAnnotationDataset:
         assert rec.kp2d.shape == (14, 3)
         assert float(rec.has_3d) == 0.0 and float(rec.has_smpl) == 0.0
 
+    def test_thetas_without_betas_do_not_mark_smpl_gt(self, tmp_path, rng):
+        """An index carrying thetas but no betas must not set has_smpl —
+        the param loss would otherwise supervise beta toward an
+        unannotated zero vector."""
+        import cv2
+
+        cv2.imwrite(
+            str(tmp_path / "im0.png"),
+            rng.integers(0, 255, (40, 40, 3)).astype(np.uint8),
+        )
+        np.savez(
+            tmp_path / "index.npz",
+            image_paths=np.asarray(["im0.png"]),
+            centers=np.asarray([[20.0, 20.0]], np.float32),
+            scales=np.asarray([30.0], np.float32),
+            keypoints=rng.normal(size=(1, 17, 3)).astype(np.float32),
+            joints3d=rng.normal(size=(1, 17, 3)).astype(np.float32),
+            thetas=rng.normal(size=(1, 72)).astype(np.float32),
+            # no betas
+        )
+        rec = DATASET_REGISTRY["h36m"](tmp_path / "index.npz")[0]
+        assert float(rec.has_smpl) == 0.0
+        assert float(rec.has_3d) == 1.0
+        np.testing.assert_array_equal(rec.beta, np.zeros(10, np.float32))
+
 
 class TestRenderedSyntheticProtocol:
     """render_skeleton=True makes image -> pose learnable (VERDICT r2 #2)."""

@@ -211,3 +211,14 @@ class TestExportedArtifact:
         bad = np.zeros((64, 64, 3), np.float32)
         with pytest.raises(ValueError, match="frame shape"):
             srv.recover(bad, [[32.0, 32.0, 40.0]])
+
+
+class TestInputValidation:
+    def test_empty_boxes_returns_empty(self, session, frame):
+        """Detector found nobody: no device program, no shape error."""
+        assert session.recover(frame, np.zeros((0, 3), np.float32)) == []
+        assert session.recover(frame, []) == []
+
+    def test_malformed_boxes_raise(self, session, frame):
+        with pytest.raises(ValueError, match=r"\(N, 3\)"):
+            session.recover(frame, [[1.0, 2.0]])

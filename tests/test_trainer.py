@@ -369,3 +369,15 @@ class TestLrSchedule:
             np.asarray(jax.tree.leaves(variables["params"])[0]),
             np.asarray(jax.tree.leaves(gen.params)[0]),
         )
+
+
+class TestAugModeValidation:
+    def test_unknown_rot_mode_raises(self, setup):
+        """A typo'd mode must fail loudly, not fall through to the 90x
+        slower per-sample gather branch."""
+        from human_3d_reconstruction_tpu.train.trainer import _device_preprocess
+
+        config = small_config(aug_rot_max=0.3, aug_rot_mode="Batch")
+        _, _, _, _, _, batch, _, _ = setup
+        with pytest.raises(ValueError, match="aug_rot_mode"):
+            _device_preprocess(config, batch, jax.random.key(0))
