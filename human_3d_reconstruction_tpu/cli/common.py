@@ -17,6 +17,19 @@ from human_3d_reconstruction_tpu.config import RunConfig
 from human_3d_reconstruction_tpu.models import HMRModel
 from human_3d_reconstruction_tpu.smpl import load_smpl_model, synthetic_smpl_model
 
+# Persistent compile cache for every CLI entry point (same dir bench.py and
+# tpu_checks.py use). On the remote-compile tunnel a cold flagship program
+# costs minutes; with the cache a rerun of the same CLI config starts hot.
+# Harmless elsewhere: content-addressed entries, gitignored directory.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent.parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+except Exception:
+    pass  # older jax: flag names differ; cold compiles still work
+
 
 def build_smpl(config: RunConfig):
     """SMPLModel from config path, or the deterministic synthetic model."""
