@@ -8,6 +8,8 @@ Data: real dataset indices via --data.sources='[["lsp", "path.npz", 1.0]]';
 without sources the synthetic dataset drives the loop (smoke/bring-up mode
 — no real data ships in this environment). Checkpoints via Orbax with
 auto-resume-latest; metrics stream to <checkpoint_dir>/train_log.jsonl.
+--eval_every=N scores held-out MPJPE in-loop (--eval.index_path, or a
+disjoint-seed synthetic stream) and logs val_mpjpe_mm alongside the losses.
 
 Reference call-stack twin: train.py main -> HMRTrainer.train (SURVEY.md
 section 3.1), rebuilt as one fused jitted step over a DP mesh.
@@ -144,6 +146,59 @@ def main(argv: list[str]) -> None:
     disc = replicate(disc, mesh)
     smpl_params = replicate(smpl_params, mesh)
 
+    # In-loop validation (--eval_every=N): score held-out MPJPE during
+    # training — the signal the r3 generalization recipe plateaus/stops on.
+    run_validation = None
+    if config.eval_every > 0:
+        from human_3d_reconstruction_tpu.api import make_recover_mesh
+        from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+        from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+        from human_3d_reconstruction_tpu.eval.protocol import (
+            load_eval_batches,
+            run_protocol,
+            synthetic_eval_batches,
+        )
+
+        # The XLA decode path for scoring (parity-exact; the Pallas-vs-XLA
+        # choice is a training-throughput lever, not a metric one).
+        recover_val = make_recover_mesh(model, smpl_path="xla")
+        if config.eval.index_path:
+            echo(f"in-loop validation every {config.eval_every} steps on "
+                 f"{config.eval.index_path}")
+            val_batches = lambda: load_eval_batches(
+                config.eval.index_path, config.eval.batch_size
+            )
+        else:
+            # Held-out synthetic stream: a DIFFERENT seed than the training
+            # set, so the poses are disjoint draws (generalization, not
+            # memorization — matches benchmarks/bench_generalization.py).
+            cached = list(
+                synthetic_eval_batches(
+                    smpl_model, num_batches=2,
+                    batch_size=min(16, config.eval.batch_size),
+                    seed=config.seed + 9,
+                )
+            )
+            echo(f"in-loop validation every {config.eval_every} steps "
+                 f"(synthetic held-out stream, {sum(len(b.actions) for b in cached)} frames)")
+            val_batches = lambda: iter(cached)
+
+        def run_validation(gen_state):
+            variables_now = {
+                "params": gen_state.params,
+                "batch_stats": gen_state.batch_stats,
+            }
+
+            def predict(images, centers, scales):
+                crops = preprocess_crops(
+                    jnp.asarray(images), jnp.asarray(centers),
+                    jnp.asarray(scales), out_size=config.data.crop_size,
+                )
+                out = recover_val(variables_now, smpl_params, crops)
+                return out.eval_joints3d[:, :NUM_KP]
+
+            return run_protocol(predict, val_batches())
+
     logger = JSONLLogger(f"{config.checkpoint_dir}/train_log.jsonl")
     rng_key = jax.random.key(config.seed + 2)
     t_last = time.perf_counter()
@@ -211,6 +266,17 @@ def main(argv: list[str]) -> None:
                 f"step {step + 1}: loss_g={m['loss_g']:.4f} "
                 + (f"loss_d={m['loss_d']:.4f} " if "loss_d" in m else "")
                 + f"({m['images_per_sec']:.1f} img/s)"
+            )
+        if run_validation is not None and (step + 1) % config.eval_every == 0:
+            rep = run_validation(gen)
+            logger.log(
+                step + 1,
+                val_mpjpe_mm=rep.mpjpe_mm,
+                val_pa_mpjpe_mm=rep.pa_mpjpe_mm,
+            )
+            echo(
+                f"step {step + 1}: val MPJPE {rep.mpjpe_mm:.1f} mm "
+                f"(PA {rep.pa_mpjpe_mm:.1f})"
             )
         if (step + 1) % config.save_every == 0 or step + 1 == config.total_steps:
             save_checkpoint(mgr, step + 1, gen, disc)

@@ -67,6 +67,11 @@ class RunConfig:
     # batch ~12 MB; thousands of unsynced steps = tens of GB RSS).
     log_every: int = 50
     save_every: int = 1000
+    # >0: run the eval protocol on --eval.index_path (or a held-out
+    # synthetic stream) every N steps and log val_mpjpe_mm — the in-loop
+    # validation the r3 generalization runs were driven by, available to
+    # every training run.
+    eval_every: int = 0
     data: DataConfig = DataConfig()
     eval: EvalConfig = EvalConfig()
     train: TrainConfig = TrainConfig()

@@ -236,6 +236,35 @@ class TestCLISmoke:
         # the seed persisted next to the checkpoints for inference restore
         assert (tmp_path / "ckpt" / "mean_params.npz").exists()
 
+    def test_train_cli_inloop_validation(self, tmp_path):
+        """--eval_every=N scores held-out MPJPE during training and logs
+        val_mpjpe_mm rows to train_log.jsonl (disjoint-seed synthetic
+        stream when no --eval.index_path)."""
+        r = run_cli(
+            "train",
+            [
+                "single_image",
+                "--total_steps=2",
+                "--log_every=1",
+                "--eval_every=2",
+                "--eval.batch_size=4",
+                "--data.batch_size=2",
+                "--data.crop_size=48",
+                "--data.synthetic_size=8",
+                f"--checkpoint_dir={tmp_path}/ckpt",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "val MPJPE" in r.stderr
+        rows = [
+            json.loads(line)
+            for line in (tmp_path / "ckpt" / "train_log.jsonl").read_text().splitlines()
+        ]
+        val_rows = [x for x in rows if "val_mpjpe_mm" in x]
+        assert val_rows and np.isfinite(val_rows[0]["val_mpjpe_mm"])
+        assert np.isfinite(val_rows[0]["val_pa_mpjpe_mm"])
+
     def test_package_main_usage(self, tmp_path):
         import subprocess, sys, os
 
