@@ -41,7 +41,7 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.cli.common import split_own_args
 
     own, overrides = split_own_args(
-        argv, ("image", "boxes", "out", "checkpoint", "save_meshes")
+        argv, ("image", "boxes", "out", "checkpoint", "checkpoint_step", "save_meshes")
     )
     config = load_config(overrides)
 
@@ -86,7 +86,10 @@ def main(argv: list[str]) -> None:
         )
 
         mgr = make_checkpoint_manager(own["checkpoint"])
-        variables, step = restore_inference_variables(mgr, variables)
+        variables, step = restore_inference_variables(
+            mgr, variables,
+            step=int(own["checkpoint_step"]) if "checkpoint_step" in own else None,
+        )
         echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
     from human_3d_reconstruction_tpu.cli.common import apply_serving_rewrite
 

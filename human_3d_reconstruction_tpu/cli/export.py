@@ -31,7 +31,7 @@ def main(argv: list[str]) -> None:
 
     from human_3d_reconstruction_tpu.cli.common import split_own_args
 
-    own, overrides = split_own_args(argv, ("out", "frame", "buckets", "checkpoint"))
+    own, overrides = split_own_args(argv, ("out", "frame", "buckets", "checkpoint", "checkpoint_step"))
     config = load_config(overrides)
     if "out" not in own:
         raise SystemExit("error: --out=<artifact_dir> is required")
@@ -50,7 +50,10 @@ def main(argv: list[str]) -> None:
         )
 
         mgr = make_checkpoint_manager(own["checkpoint"])
-        variables, step = restore_inference_variables(mgr, variables)
+        variables, step = restore_inference_variables(
+            mgr, variables,
+            step=int(own["checkpoint_step"]) if "checkpoint_step" in own else None,
+        )
         echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
 
     session = MeshRecoverySession(

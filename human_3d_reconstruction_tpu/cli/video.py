@@ -94,8 +94,8 @@ def main(argv: list[str]) -> None:
 
     own, overrides = split_own_args(
         argv,
-        ("frames", "video", "boxes", "out", "checkpoint", "fps",
-         "synthetic_frames", "max_frames"),
+        ("frames", "video", "boxes", "out", "checkpoint", "checkpoint_step",
+         "fps", "synthetic_frames", "max_frames"),
         flags=("no_track", "no_smooth"),
     )
     config = load_config(overrides)
@@ -114,7 +114,10 @@ def main(argv: list[str]) -> None:
         )
 
         mgr = make_checkpoint_manager(own["checkpoint"])
-        variables, step = restore_inference_variables(mgr, variables)
+        variables, step = restore_inference_variables(
+            mgr, variables,
+            step=int(own["checkpoint_step"]) if "checkpoint_step" in own else None,
+        )
         echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
 
     session = MeshRecoverySession(

@@ -414,19 +414,30 @@ def save_checkpoint(mgr, step: int, gen_state: GenState, disc_state: DiscState) 
     )
 
 
-def restore_inference_variables(mgr, variables_template):
-    """Restore only {params, batch_stats} from the newest training checkpoint.
+def restore_inference_variables(mgr, variables_template, step=None):
+    """Restore only {params, batch_stats} from a training checkpoint.
 
     Inference CLIs (demo/eval) hold model `variables`, not a GenState; this
     rebuilds the GenState skeleton (adamw opt-state structure is independent
     of its hyperparameters) so Orbax's strict tree matching succeeds, then
     strips the training-only parts.
 
+    `step` selects a specific saved step (e.g. the best-val one from an
+    --eval_every run); default is the newest. Raises when the requested
+    step isn't among `mgr.all_steps()`.
+
     Returns (variables, step) — the template and step 0 when no checkpoint.
     """
     import orbax.checkpoint as ocp
 
-    step = mgr.latest_step()
+    if step is not None:
+        if step not in mgr.all_steps():
+            raise ValueError(
+                f"checkpoint step {step} not found; saved steps: "
+                f"{sorted(mgr.all_steps())}"
+            )
+    else:
+        step = mgr.latest_step()
     if step is None:
         return variables_template, 0
     params = variables_template["params"]

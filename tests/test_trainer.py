@@ -230,6 +230,37 @@ class TestCheckpoint:
         g, d, step = restore_latest(mgr, gen, disc)
         assert step == 0
 
+    def test_restore_inference_specific_step(self, setup, tmp_path):
+        """restore_inference_variables(step=N) picks the requested save
+        (e.g. the best-val step of an --eval_every run), not the newest,
+        and names the available steps when N doesn't exist."""
+        from human_3d_reconstruction_tpu.train.trainer import (
+            restore_inference_variables,
+        )
+
+        _, step_fn, gen, disc, smpl_params, batch, mt, mb = setup
+        gen1, disc1, _ = step_fn(gen, disc, smpl_params, batch, mt, mb, jax.random.key(4))
+        mgr = make_checkpoint_manager(str(tmp_path / "steps_ckpt"))
+        save_checkpoint(mgr, 5, gen, disc)     # older weights
+        save_checkpoint(mgr, 7, gen1, disc1)   # newest weights
+        mgr.wait_until_finished()
+
+        template = {
+            "params": jax.device_get(gen.params),
+            "batch_stats": jax.device_get(gen.batch_stats),
+        }
+        v5, step = restore_inference_variables(mgr, template, step=5)
+        assert step == 5
+        leaf5 = np.asarray(jax.tree.leaves(v5["params"])[0])
+        leaf_old = np.asarray(jax.tree.leaves(jax.device_get(gen.params))[0])
+        np.testing.assert_allclose(leaf5, leaf_old)
+
+        v_latest, step = restore_inference_variables(mgr, template)
+        assert step == 7
+
+        with pytest.raises(ValueError, match=r"\[5, 7\]"):
+            restore_inference_variables(mgr, template, step=6)
+
 
 class TestAugmentedTraining:
     def test_step_with_full_augmentation(self, smpl_model, setup):
