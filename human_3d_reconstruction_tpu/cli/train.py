@@ -17,8 +17,10 @@ section 3.1), rebuilt as one fused jitted step over a DP mesh.
 
 from __future__ import annotations
 
+import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -199,6 +201,13 @@ def main(argv: list[str]) -> None:
 
             return run_protocol(predict, val_batches())
 
+        # Best-val checkpoint: its OWN manager under <ckpt_dir>/best
+        # (max_to_keep=1) so the main manager's rolling GC can never
+        # collect the best-scoring weights; `cli.eval
+        # --checkpoint=<ckpt_dir>/best` restores them directly.
+        best_mgr = make_checkpoint_manager(f"{config.checkpoint_dir}/best", max_to_keep=1)
+        best_val = {"mpjpe_mm": float("inf"), "step": 0}
+
     logger = JSONLLogger(f"{config.checkpoint_dir}/train_log.jsonl")
     rng_key = jax.random.key(config.seed + 2)
     t_last = time.perf_counter()
@@ -278,6 +287,17 @@ def main(argv: list[str]) -> None:
                 f"step {step + 1}: val MPJPE {rep.mpjpe_mm:.1f} mm "
                 f"(PA {rep.pa_mpjpe_mm:.1f})"
             )
+            if rep.mpjpe_mm < best_val["mpjpe_mm"]:
+                best_val = {
+                    "mpjpe_mm": rep.mpjpe_mm,
+                    "pa_mpjpe_mm": rep.pa_mpjpe_mm,
+                    "step": step + 1,
+                }
+                save_checkpoint(best_mgr, step + 1, gen, disc)
+                Path(f"{config.checkpoint_dir}/best_val.json").write_text(
+                    json.dumps(best_val)
+                )
+                echo(f"new best val at step {step + 1} -> {config.checkpoint_dir}/best")
         if (step + 1) % config.save_every == 0 or step + 1 == config.total_steps:
             save_checkpoint(mgr, step + 1, gen, disc)
             echo(f"saved checkpoint at step {step + 1}")
@@ -288,6 +308,13 @@ def main(argv: list[str]) -> None:
             break
 
     mgr.wait_until_finished()
+    if run_validation is not None:
+        best_mgr.wait_until_finished()
+        if best_val["step"]:
+            echo(
+                f"best val MPJPE {best_val['mpjpe_mm']:.1f} mm at step "
+                f"{best_val['step']} (checkpoint: {config.checkpoint_dir}/best)"
+            )
     logger.close()
     echo("training done")
 

@@ -264,6 +264,12 @@ class TestCLISmoke:
         val_rows = [x for x in rows if "val_mpjpe_mm" in x]
         assert val_rows and np.isfinite(val_rows[0]["val_mpjpe_mm"])
         assert np.isfinite(val_rows[0]["val_pa_mpjpe_mm"])
+        # Best-val bookkeeping: a separate best/ checkpoint (own manager,
+        # immune to the main manager's rolling GC) + a best_val.json record.
+        best = json.loads((tmp_path / "ckpt" / "best_val.json").read_text())
+        assert best["step"] == 2 and np.isfinite(best["mpjpe_mm"])
+        assert (tmp_path / "ckpt" / "best" / "2").exists()
+        assert "best val MPJPE" in r.stderr
 
     def test_package_main_usage(self, tmp_path):
         import subprocess, sys, os
