@@ -207,6 +207,14 @@ def main(argv: list[str]) -> None:
         # --checkpoint=<ckpt_dir>/best` restores them directly.
         best_mgr = make_checkpoint_manager(f"{config.checkpoint_dir}/best", max_to_keep=1)
         best_val = {"mpjpe_mm": float("inf"), "step": 0}
+        best_record = Path(f"{config.checkpoint_dir}/best_val.json")
+        if best_record.exists():
+            # Resumed run: seed from the persisted record so a worse later
+            # eval can't overwrite the best checkpoint from before the
+            # restart.
+            best_val = json.loads(best_record.read_text())
+            echo(f"best-val record restored: {best_val['mpjpe_mm']:.1f} mm "
+                 f"at step {best_val['step']}")
 
     logger = JSONLLogger(f"{config.checkpoint_dir}/train_log.jsonl")
     rng_key = jax.random.key(config.seed + 2)

@@ -270,6 +270,24 @@ class TestCLISmoke:
         assert best["step"] == 2 and np.isfinite(best["mpjpe_mm"])
         assert (tmp_path / "ckpt" / "best" / "2").exists()
         assert "best val MPJPE" in r.stderr
+        # Resume: the persisted best record seeds the tracker so a worse
+        # later eval can't displace the pre-restart best checkpoint.
+        r2 = run_cli(
+            "train",
+            [
+                "single_image",
+                "--total_steps=2",
+                "--eval_every=2",
+                "--eval.batch_size=4",
+                "--data.batch_size=2",
+                "--data.crop_size=48",
+                "--data.synthetic_size=8",
+                f"--checkpoint_dir={tmp_path}/ckpt",
+            ],
+            cwd=tmp_path,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "best-val record restored" in r2.stderr
 
     def test_package_main_usage(self, tmp_path):
         import subprocess, sys, os
