@@ -56,6 +56,29 @@ def init_variables(config: RunConfig, model: HMRModel) -> Any:
     return model.init(jax.random.key(config.seed), dummy)
 
 
+def restore_checkpoint_variables(own: dict, variables: Any) -> Any:
+    """Shared inference-CLI restore: --checkpoint[=dir] + --checkpoint_step.
+
+    Returns the (possibly restored) variables; echoes what happened. One
+    definition for demo/video/eval/export so the restore semantics (latest
+    vs explicit step, missing-checkpoint message) can't drift between them.
+    """
+    if "checkpoint" not in own:
+        return variables
+    from human_3d_reconstruction_tpu.train.trainer import (
+        make_checkpoint_manager,
+        restore_inference_variables,
+    )
+
+    mgr = make_checkpoint_manager(own["checkpoint"])
+    variables, step = restore_inference_variables(
+        mgr, variables,
+        step=int(own["checkpoint_step"]) if "checkpoint_step" in own else None,
+    )
+    echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
+    return variables
+
+
 def apply_serving_rewrite(model: HMRModel, variables: Any) -> tuple[HMRModel, Any]:
     """Exact serving rewrite (s2d stem + folded BN) for inference CLIs.
 

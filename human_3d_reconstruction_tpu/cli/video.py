@@ -79,6 +79,7 @@ def main(argv: list[str]) -> None:
         build_smpl,
         echo,
         init_variables,
+        restore_checkpoint_variables,
     )
     from human_3d_reconstruction_tpu.config import load_config
     from human_3d_reconstruction_tpu.serving import MeshRecoverySession
@@ -107,18 +108,7 @@ def main(argv: list[str]) -> None:
     smpl_model = build_smpl(config)
     model = build_model(config)
     variables = init_variables(config, model)
-    if "checkpoint" in own:
-        from human_3d_reconstruction_tpu.train.trainer import (
-            make_checkpoint_manager,
-            restore_inference_variables,
-        )
-
-        mgr = make_checkpoint_manager(own["checkpoint"])
-        variables, step = restore_inference_variables(
-            mgr, variables,
-            step=int(own["checkpoint_step"]) if "checkpoint_step" in own else None,
-        )
-        echo(f"restored checkpoint step {step}" if step else "no checkpoint found")
+    variables = restore_checkpoint_variables(own, variables)
 
     session = MeshRecoverySession(
         variables,
