@@ -58,11 +58,9 @@ def main() -> None:
 
     # Persistent compile cache: the flagship program costs minutes to build
     # on the remote-compile tunnel; cache it across bench invocations.
-    try:
-        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass  # older jax: flag names differ; cold compile still works
+    from human_3d_reconstruction_tpu.utils.compile_cache import configure_compile_cache
+
+    configure_compile_cache(5.0)
 
     from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel
     from human_3d_reconstruction_tpu.smpl import synthetic_smpl_model

@@ -42,11 +42,9 @@ def local_faces(v_template: np.ndarray, n_faces: int = 13780) -> np.ndarray:
 
 
 def main() -> None:
-    try:
-        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from human_3d_reconstruction_tpu.utils.compile_cache import configure_compile_cache
+
+    configure_compile_cache(5.0)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)

@@ -74,11 +74,9 @@ def random_mesh(n_faces: int, H: int, W: int, seed: int = 0):
 
 
 def main() -> None:
-    try:
-        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from human_3d_reconstruction_tpu.utils.compile_cache import configure_compile_cache
+
+    configure_compile_cache(5.0)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true")

@@ -20,15 +20,9 @@ from human_3d_reconstruction_tpu.smpl import load_smpl_model, synthetic_smpl_mod
 # Persistent compile cache for every CLI entry point (same dir bench.py and
 # tpu_checks.py use). On the remote-compile tunnel a cold flagship program
 # costs minutes; with the cache a rerun of the same CLI config starts hot.
-# Harmless elsewhere: content-addressed entries, gitignored directory.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        str(Path(__file__).resolve().parent.parent.parent / ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-except Exception:
-    pass  # older jax: flag names differ; cold compiles still work
+from human_3d_reconstruction_tpu.utils.compile_cache import configure_compile_cache
+
+configure_compile_cache(0.1)
 
 
 def build_smpl(config: RunConfig):
@@ -64,6 +58,12 @@ def restore_checkpoint_variables(own: dict, variables: Any) -> Any:
     vs explicit step, missing-checkpoint message) can't drift between them.
     """
     if "checkpoint" not in own:
+        if "checkpoint_step" in own:
+            # Silently evaluating fresh random weights while the user asked
+            # for a specific saved step would report garbage as that step.
+            raise SystemExit(
+                "error: --checkpoint_step needs --checkpoint=<dir> to select from"
+            )
         return variables
     from human_3d_reconstruction_tpu.train.trainer import (
         make_checkpoint_manager,

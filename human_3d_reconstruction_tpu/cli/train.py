@@ -167,9 +167,21 @@ def main(argv: list[str]) -> None:
         if config.eval.index_path:
             echo(f"in-loop validation every {config.eval_every} steps on "
                  f"{config.eval.index_path}")
-            val_batches = lambda: load_eval_batches(
-                config.eval.index_path, config.eval.batch_size
-            )
+            # Small sets: decode once, score from memory every eval. Large
+            # sets stream from disk per eval (bounded memory; decoding a
+            # 512-frame set ~100x per long run would stall the 1-core host
+            # otherwise).
+            first = list(load_eval_batches(config.eval.index_path, config.eval.batch_size))
+            n_val = sum(b.n_valid or len(b.actions) for b in first)
+            if n_val <= 2048:
+                cached_real = first
+                val_batches = lambda: iter(cached_real)
+            else:
+                del first
+                echo(f"(eval set {n_val} frames > 2048: streaming from disk per eval)")
+                val_batches = lambda: load_eval_batches(
+                    config.eval.index_path, config.eval.batch_size
+                )
         else:
             # Held-out synthetic stream: a DIFFERENT seed than the training
             # set, so the poses are disjoint draws (generalization, not
@@ -211,10 +223,15 @@ def main(argv: list[str]) -> None:
         if best_record.exists():
             # Resumed run: seed from the persisted record so a worse later
             # eval can't overwrite the best checkpoint from before the
-            # restart.
-            best_val = json.loads(best_record.read_text())
-            echo(f"best-val record restored: {best_val['mpjpe_mm']:.1f} mm "
-                 f"at step {best_val['step']}")
+            # restart. A truncated/corrupt record (killed mid-write before
+            # atomic writes shipped) must not brick auto-resume.
+            try:
+                best_val = json.loads(best_record.read_text())
+                echo(f"best-val record restored: {best_val['mpjpe_mm']:.1f} mm "
+                     f"at step {best_val['step']}")
+            except (json.JSONDecodeError, KeyError):
+                echo("best_val.json unreadable; resetting the best-val record")
+                best_val = {"mpjpe_mm": float("inf"), "step": 0}
 
     logger = JSONLLogger(f"{config.checkpoint_dir}/train_log.jsonl")
     rng_key = jax.random.key(config.seed + 2)
@@ -302,9 +319,11 @@ def main(argv: list[str]) -> None:
                     "step": step + 1,
                 }
                 save_checkpoint(best_mgr, step + 1, gen, disc)
-                Path(f"{config.checkpoint_dir}/best_val.json").write_text(
-                    json.dumps(best_val)
-                )
+                # Atomic record write: a kill mid-write must never leave a
+                # truncated json that poisons the next resume.
+                tmp = best_record.with_suffix(".json.tmp")
+                tmp.write_text(json.dumps(best_val))
+                tmp.replace(best_record)
                 echo(f"new best val at step {step + 1} -> {config.checkpoint_dir}/best")
         if (step + 1) % config.save_every == 0 or step + 1 == config.total_steps:
             save_checkpoint(mgr, step + 1, gen, disc)

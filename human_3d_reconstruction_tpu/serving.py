@@ -205,7 +205,7 @@ class MeshRecoverySession:
         boxes = np.atleast_2d(np.asarray(boxes, np.float32))
         if boxes.size == 0:  # detector found nobody: no work, no program
             return []
-        if boxes.shape[-1] != 3:
+        if boxes.ndim != 2 or boxes.shape[-1] != 3:
             raise ValueError(f"boxes must be (N, 3) [cx, cy, scale], got {boxes.shape}")
         return self._to_results(self._run(frame, boxes), boxes, fields)
 

@@ -23,19 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the suite is COMPILE-dominated on this 1-core
 # host (~46 min, most of it re-building the same CPU executables every
-# session). Cache entries are keyed by platform+computation fingerprint, so
-# sharing .jax_cache with the TPU lane is safe. Measured (test_serving.py):
-# 129 s uncached == 127 s first cached run (write overhead ~0) -> 52 s warm
-# (2.5x); threshold 0.1 s beat 0.5 s (81 s warm) — small compiles dominate
-# by count.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-except Exception:
-    pass  # older jax: cold compiles still work
+# session). Measured (test_serving.py): 129 s uncached == 127 s first
+# cached run (write overhead ~0) -> 52 s warm (2.5x); threshold 0.1 s beat
+# 0.5 s (81 s warm) — small compiles dominate by count.
+from human_3d_reconstruction_tpu.utils.compile_cache import configure_compile_cache
+
+configure_compile_cache(0.1)
 
 import numpy as np
 import pytest

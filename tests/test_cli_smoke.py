@@ -289,6 +289,48 @@ class TestCLISmoke:
         assert r2.returncode == 0, r2.stderr[-2000:]
         assert "best-val record restored" in r2.stderr
 
+    def test_train_cli_inloop_validation_real_index(self, tmp_path):
+        """--eval_every against a real --eval.index_path: the index is
+        decoded once and cached (small sets), and val rows still land."""
+        import cv2
+
+        rng = np.random.default_rng(3)
+        n = 4
+        paths = []
+        for i in range(n):
+            p = f"f{i}.png"
+            cv2.imwrite(
+                str(tmp_path / p), rng.integers(0, 255, (50, 60, 3)).astype(np.uint8)
+            )
+            paths.append(p)
+        np.savez(
+            tmp_path / "val_idx.npz",
+            image_paths=np.asarray(paths),
+            centers=np.tile([[30.0, 25.0]], (n, 1)).astype(np.float32),
+            scales=np.full((n,), 40.0, np.float32),
+            keypoints=rng.normal(size=(n, 17, 3)).astype(np.float32),
+            joints3d=rng.normal(scale=0.3, size=(n, 17, 3)).astype(np.float32),
+        )
+        r = run_cli(
+            "train",
+            [
+                "single_image",
+                "--total_steps=2",
+                "--log_every=1",
+                "--eval_every=2",
+                f"--eval.index_path={tmp_path}/val_idx.npz",
+                "--eval.batch_size=4",
+                "--data.batch_size=2",
+                "--data.crop_size=48",
+                "--data.synthetic_size=8",
+                f"--checkpoint_dir={tmp_path}/ckpt",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "in-loop validation every 2 steps on" in r.stderr
+        assert "val MPJPE" in r.stderr
+
     def test_package_main_usage(self, tmp_path):
         import subprocess, sys, os
 

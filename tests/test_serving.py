@@ -222,3 +222,18 @@ class TestInputValidation:
     def test_malformed_boxes_raise(self, session, frame):
         with pytest.raises(ValueError, match=r"\(N, 3\)"):
             session.recover(frame, [[1.0, 2.0]])
+        # one nesting level too deep: shape (1, 2, 3) has a valid last axis
+        # but is not a box list — must raise, not mis-crop
+        with pytest.raises(ValueError, match=r"\(N, 3\)"):
+            session.recover(frame, [[[40.0, 30.0, 50.0], [80.0, 60.0, 70.0]]])
+
+    def test_checkpoint_step_requires_checkpoint(self):
+        from human_3d_reconstruction_tpu.cli.common import (
+            restore_checkpoint_variables,
+        )
+
+        with pytest.raises(SystemExit, match="--checkpoint"):
+            restore_checkpoint_variables({"checkpoint_step": "5"}, {"params": {}})
+        # no checkpoint flags at all: passthrough
+        v = {"params": {}}
+        assert restore_checkpoint_variables({}, v) is v
