@@ -11,10 +11,16 @@ between the (previously ~19) copies.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
-# repo root: utils/ -> package -> repo
-CACHE_DIR = Path(__file__).resolve().parent.parent.parent / ".jax_cache"
+# repo root: utils/ -> package -> repo. HMR_TPU_CACHE_DIR overrides (e.g.
+# point at an empty dir to measure a cold compile without disturbing the
+# warm cache).
+CACHE_DIR = Path(
+    os.environ.get("HMR_TPU_CACHE_DIR")
+    or Path(__file__).resolve().parent.parent.parent / ".jax_cache"
+)
 
 
 def configure_compile_cache(min_compile_seconds: float = 0.1) -> bool:
