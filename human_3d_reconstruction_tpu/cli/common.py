@@ -32,13 +32,36 @@ def build_smpl(config: RunConfig):
     return synthetic_smpl_model(seed=0)
 
 
-def build_model(config: RunConfig) -> HMRModel:
+def build_model(config: RunConfig, own: dict | None = None) -> HMRModel:
     """Model for inference CLIs; restores the persisted dataset-derived IEF
-    seed (checkpoint_dir/mean_params.npz, written by training with
-    --mean_params=mosh) so train and serve decode from the same mean."""
-    from human_3d_reconstruction_tpu.smpl.mean_params import maybe_load_mean_params
+    seed (mean_params.npz, written by training with --mean_params=mosh) so
+    train and serve decode from the same mean.
 
-    mean = maybe_load_mean_params(config.checkpoint_dir)
+    The seed is a module constant, NOT part of the Orbax checkpoint, so it
+    must be resolved from the SAME directory the weights come from: when the
+    CLI got `--checkpoint=<dir>`, look in <dir> and its parent (covers
+    `--checkpoint=<run>/best`, whose seed lives in <run>); a run directory
+    with no seed file was trained with the neutral seed, so NO fallback to
+    config.checkpoint_dir happens then — that could silently pick up another
+    run's seed, exactly the train/serve mismatch persistence exists to
+    prevent. config.checkpoint_dir is only consulted when no --checkpoint
+    was passed (fresh weights)."""
+    from human_3d_reconstruction_tpu.smpl.mean_params import (
+        load_mean_params,
+        maybe_load_mean_params,
+        mean_params_file,
+    )
+
+    if own and "checkpoint" in own:
+        ckpt = Path(own["checkpoint"])
+        mean = None
+        for d in (ckpt, ckpt.parent):
+            p = mean_params_file(d)
+            if p.exists():
+                mean = load_mean_params(p)
+                break
+    else:
+        mean = maybe_load_mean_params(config.checkpoint_dir)
     return HMRModel(
         config=config.train.hmr,
         mean_params=None if mean is None else jnp.asarray(mean),

@@ -160,7 +160,7 @@ def convert_h36m(h5_path: str, out_path: str) -> int:
 # l_wrist, r_hip, r_knee, r_ankle, l_hip, l_knee, l_ankle, pelvis, spine,
 # head — exactly the order data/skeleton.py::MPI3DHP_TO_LSP14 expects.
 _3DHP_28_TO_17 = np.array(
-    [7, 5, 14, 15, 16, 9, 10, 11, 23, 24, 25, 18, 19, 20, 3, 6, 4], dtype=np.int64
+    [7, 5, 14, 15, 16, 9, 10, 11, 23, 24, 25, 18, 19, 20, 4, 3, 6], dtype=np.int64
 )
 
 
@@ -172,7 +172,9 @@ def _3dhp_cell(entry) -> list[np.ndarray]:
     re-exports)."""
     arr = np.asarray(entry)
     if arr.dtype == object:
-        return [np.asarray(c).squeeze() for c in arr.ravel()]
+        # atleast_2d: squeeze drops the FRAME axis of a single-frame cell
+        # ((1, 56) -> (56,)); restore it so (F, D) holds for F == 1 too.
+        return [np.atleast_2d(np.asarray(c).squeeze()) for c in arr.ravel()]
     if arr.ndim == 2:
         return [arr]
     raise ValueError(f"unrecognized annot cell layout: shape={arr.shape}")

@@ -78,7 +78,7 @@ def main(argv: list[str]) -> None:
 
     # --- model ---------------------------------------------------------------
     smpl_model = build_smpl(config)
-    model = build_model(config)
+    model = build_model(config, own)
     variables = init_variables(config, model)
     variables = restore_checkpoint_variables(own, variables)
     from human_3d_reconstruction_tpu.cli.common import apply_serving_rewrite

@@ -106,7 +106,7 @@ def main(argv: list[str]) -> None:
 
     # --- model + session ------------------------------------------------------
     smpl_model = build_smpl(config)
-    model = build_model(config)
+    model = build_model(config, own)
     variables = init_variables(config, model)
     variables = restore_checkpoint_variables(own, variables)
 

@@ -26,6 +26,25 @@ def root_align(joints: jax.Array, root_index: int = 0) -> jax.Array:
     return joints - joints[..., root_index : root_index + 1, :]
 
 
+# LSP-14 hip slots (data/skeleton.py::LSP_14: 2=r_hip, 3=l_hip). Their
+# midpoint is the standard pelvis proxy for root alignment when the joint
+# set carries no explicit pelvis — LSP-14 index 0 is the RIGHT ANKLE, so
+# rooting there deviates from the published H36M/3DHP protocols (which
+# align at the pelvis) and inflates distal-joint errors asymmetrically.
+LSP14_HIP_INDICES = (2, 3)
+
+
+def pelvis_align(
+    joints: jax.Array, hip_indices: tuple[int, int] = LSP14_HIP_INDICES
+) -> jax.Array:
+    """Subtract the hip midpoint (pelvis proxy): (..., J, 3) -> pelvis-relative."""
+    l, r = hip_indices
+    pelvis = (
+        joints[..., l : l + 1, :] + joints[..., r : r + 1, :]
+    ) * 0.5
+    return joints - pelvis
+
+
 def mpjpe(
     pred: jax.Array,
     gt: jax.Array,
@@ -138,6 +157,9 @@ def pck3d(errors_mm: jax.Array, threshold_mm: float = 150.0) -> jax.Array:
     Reference parity: the reference family evaluates 3DHP with
     PCK3D@150mm and its AUC (SURVEY §2 "Eval harness" names the 3DHP
     source; the 150 mm threshold is the dataset's standard protocol).
+    For comparability with published 3DHP numbers, feed errors computed
+    after `pelvis_align` (the official protocol roots at the pelvis) —
+    eval/protocol.py does this.
     """
     return jnp.mean((errors_mm < threshold_mm).astype(jnp.float32))
 

@@ -26,6 +26,7 @@ from human_3d_reconstruction_tpu.eval.metrics import (
     mpjpe,
     pa_mpjpe,
     pck3d,
+    pelvis_align,
 )
 
 H36M_EVAL_ACTIONS = (
@@ -116,12 +117,18 @@ def run_protocol(
     # Per-sample device metric fns (jitted once; shapes are static per batch).
     @jax.jit
     def score(pred, gt):
-        # per-sample errors so action bucketing stays exact
+        # per-sample errors so action bucketing stays exact. Root alignment
+        # is at the pelvis proxy (LSP-14 hip midpoint, metrics.pelvis_align)
+        # per the published H36M/3DHP protocols — LSP-14 index 0 is the
+        # right ankle, and ankle-rooting inflates distal-joint errors
+        # differently from every published number (ADVICE r3). PA-MPJPE is
+        # alignment-invariant (Procrustes re-centers).
         def one(p, g):
+            p_pel, g_pel = pelvis_align(p), pelvis_align(g)
             return (
-                mpjpe(p[None], g[None]) * 1000.0,
+                mpjpe(p_pel[None], g_pel[None], root_index=None) * 1000.0,
                 pa_mpjpe(p[None], g[None]) * 1000.0,
-                joint_errors_mm(p, g),  # (K,) -> the 3DHP threshold metrics
+                joint_errors_mm(p_pel, g_pel, root_index=None),  # (K,) -> 3DHP
             )
 
         return jax.vmap(one)(pred, gt)

@@ -109,6 +109,21 @@ def mean_params_file(checkpoint_dir: str | Path) -> Path:
     return Path(checkpoint_dir) / "mean_params.npz"
 
 
+def _has_existing_checkpoints(checkpoint_dir: str | Path) -> bool:
+    """True when the dir already holds saved training state.
+
+    Structural check (digit-named Orbax step dirs, or the best-val subtree)
+    so smpl/ stays free of a trainer/orbax import; layout pinned by
+    tests/test_trainer.py's checkpoint round-trips.
+    """
+    d = Path(checkpoint_dir)
+    if not d.is_dir():
+        return False
+    return any(
+        c.is_dir() and (c.name.isdigit() or c.name == "best") for c in d.iterdir()
+    )
+
+
 def resolve_mean_params(
     spec: str, checkpoint_dir: str | Path, mosh=None
 ) -> np.ndarray | None:
@@ -127,7 +142,22 @@ def resolve_mean_params(
     if not spec:
         # Training with the neutral seed: a leftover mean_params.npz from a
         # previous run in the same dir would silently re-seed inference.
+        # BUT if the dir already holds checkpoints, this is a RESUME of the
+        # run that wrote the seed (the trainer auto-restores latest) — its
+        # weights were trained against that seed, and deleting it here would
+        # rebuild the model neutral-seeded while restoring seeded weights,
+        # corrupting the resumed run and every later inference. Refuse.
         if canonical.exists():
+            if _has_existing_checkpoints(checkpoint_dir):
+                raise ValueError(
+                    f"{checkpoint_dir} holds checkpoints trained with the "
+                    f"persisted IEF seed {canonical}, but this run requests "
+                    f"the neutral seed (no --mean_params). Resuming would "
+                    f"silently switch seeds under the restored weights. "
+                    f"Pass --mean_params={canonical} (or the original "
+                    f"'mosh') to resume, or point --checkpoint_dir at a "
+                    f"fresh directory for a neutral-seed run."
+                )
             canonical.unlink()
         return None
     if spec == "mosh":

@@ -9,6 +9,8 @@ from human_3d_reconstruction_tpu.utils.bucketing import (
     pad_people,
 )
 
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 
 class TestBucketing:
     def test_bucket_boundaries(self):

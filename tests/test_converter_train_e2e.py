@@ -188,6 +188,35 @@ class TestConverterToTraining:
         assert float(rec.has_3d) == 1.0 and float(rec.has_smpl) == 0.0
         _one_train_step(train_setup, ds, "mpi_inf_3dhp")
 
+    def test_3dhp_joint_identity(self, tmp_path):
+        """Each written slot must carry the documented source joint (ADVICE
+        r3: slots 14-16 are pelvis, spine, head = official 0-based 28-joint
+        indices 4, 3, 6). Encode the source joint index in the x coordinate
+        and read it back per output slot."""
+        from scipy.io import savemat
+
+        from human_3d_reconstruction_tpu.cli.convert_annotations import (
+            _3DHP_28_TO_17,
+        )
+
+        a2 = np.zeros((1, 56))
+        a2[0, 0::2] = np.arange(28)  # x = source joint index
+        a2[0, 1::2] = 100.0
+        a3 = np.zeros((1, 84))
+        a3[0, 0::3] = np.arange(28) * 1000.0  # x(mm) = 1000 * source index
+        annot2 = np.empty((1, 1), object)
+        annot3 = np.empty((1, 1), object)
+        annot2[0, 0], annot3[0, 0] = a2, a3
+        savemat(tmp_path / "annot.mat", {"annot2": annot2, "annot3": annot3})
+        from human_3d_reconstruction_tpu.cli.convert_annotations import convert_3dhp
+
+        convert_3dhp(str(tmp_path / "annot.mat"), str(tmp_path / "id.npz"))
+        z = np.load(tmp_path / "id.npz")
+        np.testing.assert_array_equal(z["keypoints"][0, :, 0], _3DHP_28_TO_17)
+        np.testing.assert_allclose(z["joints3d"][0, :, 0], _3DHP_28_TO_17)
+        # pelvis, spine, head slots pinned to the official indices
+        np.testing.assert_array_equal(_3DHP_28_TO_17[-3:], [4, 3, 6])
+
     def test_mosh_raw_to_train_step(self, tmp_path, rng, train_setup, smpl_model):
         """Raw mosh dumps: a dir of per-sequence pickles (chumpy-era keys,
         per-sequence single beta) + an npz variant -> MoshParamSource ->

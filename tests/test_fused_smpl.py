@@ -12,6 +12,8 @@ import jax.numpy as jnp
 from human_3d_reconstruction_tpu.ops import prepare_fused_smpl, smpl_forward_fused
 from human_3d_reconstruction_tpu.smpl import smpl_forward
 
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 
 @pytest.fixture(scope="module")
 def prepared(smpl_model):

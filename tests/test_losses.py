@@ -11,6 +11,10 @@ from human_3d_reconstruction_tpu.train import (
     smpl_param_loss,
 )
 
+import pytest
+
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 
 class TestKeypoint2D:
     def test_zero_when_equal(self, rng):

@@ -25,6 +25,8 @@ from human_3d_reconstruction_tpu.smpl.mean_params import (
     save_mean_params,
 )
 
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 
 class TestRotationMean:
     def test_rodrigues_log_roundtrip(self, rng):
@@ -164,3 +166,72 @@ class TestPersistenceAndWiring:
             PRESETS["single_image"], checkpoint_dir=str(tmp_path / "empty")
         )
         assert build_model(config2).mean_params is None
+
+    def test_build_model_seed_follows_checkpoint_arg(self, tmp_path, rng):
+        """The seed must come from the SAME dir as the restored weights
+        (ADVICE r3): --checkpoint=<run> resolves <run>/mean_params.npz,
+        --checkpoint=<run>/best resolves the parent's seed, and a seedless
+        run dir yields the neutral seed even when config.checkpoint_dir
+        points at a directory that HAS a (different run's) seed."""
+        from human_3d_reconstruction_tpu.cli.common import build_model
+        from human_3d_reconstruction_tpu.config import PRESETS
+
+        other = tmp_path / "other_run"
+        other.mkdir()
+        mean_other = mean_params_from_pool(
+            rng.normal(scale=0.3, size=(8, 72)), rng.normal(size=(8, 10))
+        )
+        save_mean_params(mean_params_file(other), mean_other)
+
+        run = tmp_path / "run"
+        (run / "best").mkdir(parents=True)
+        mean_run = mean_params_from_pool(
+            rng.normal(scale=0.5, size=(8, 72)), rng.normal(size=(8, 10))
+        )
+        save_mean_params(mean_params_file(run), mean_run)
+
+        config = dataclasses.replace(
+            PRESETS["single_image"], checkpoint_dir=str(other)
+        )
+        # --checkpoint=<run>: seed from <run>, NOT config.checkpoint_dir
+        m = build_model(config, {"checkpoint": str(run)})
+        np.testing.assert_allclose(np.asarray(m.mean_params), mean_run, atol=0)
+        # --checkpoint=<run>/best: seed from the parent run dir
+        m = build_model(config, {"checkpoint": str(run / "best")})
+        np.testing.assert_allclose(np.asarray(m.mean_params), mean_run, atol=0)
+        # seedless run dir: neutral seed, no fallback to another run's seed
+        bare = tmp_path / "neutral_run"
+        bare.mkdir()
+        assert build_model(config, {"checkpoint": str(bare)}).mean_params is None
+        # no --checkpoint: config.checkpoint_dir as before
+        m = build_model(config, {})
+        np.testing.assert_allclose(np.asarray(m.mean_params), mean_other, atol=0)
+
+    def test_neutral_resolve_refuses_to_orphan_a_resumed_run(self, tmp_path, rng):
+        """resolve_mean_params('') deletes a stale seed only in a FRESH dir;
+        once checkpoints exist (auto-resume territory) it raises instead of
+        silently switching the resumed run to the neutral seed (ADVICE r3)."""
+        from human_3d_reconstruction_tpu.data.datasets import MoshParamSource
+
+        mosh = MoshParamSource(
+            rng.normal(scale=0.3, size=(16, 72)).astype(np.float32),
+            rng.normal(size=(16, 10)).astype(np.float32),
+        )
+        ckpt = tmp_path / "ckpt"
+        resolve_mean_params("mosh", ckpt, mosh)
+        (ckpt / "100").mkdir()  # orbax step dir -> this dir is a live run
+        with pytest.raises(ValueError, match="silently switch seeds"):
+            resolve_mean_params("", ckpt)
+        # the seed survives the refusal
+        assert maybe_load_mean_params(ckpt) is not None
+        # a 'best' subtree alone also counts as a live run
+        ckpt2 = tmp_path / "ckpt2"
+        resolve_mean_params("mosh", ckpt2, mosh)
+        (ckpt2 / "best").mkdir()
+        with pytest.raises(ValueError):
+            resolve_mean_params("", ckpt2)
+        # fresh dir (no checkpoints): stale seed removed as before
+        ckpt3 = tmp_path / "ckpt3"
+        resolve_mean_params("mosh", ckpt3, mosh)
+        assert resolve_mean_params("", ckpt3) is None
+        assert maybe_load_mean_params(ckpt3) is None

@@ -16,6 +16,10 @@ from human_3d_reconstruction_tpu.eval import (
 )
 from human_3d_reconstruction_tpu.utils.geometry import rodrigues
 
+import pytest
+
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 
 class TestMPJPE:
     def test_zero_for_identical(self, rng):
@@ -150,3 +154,25 @@ class Test3DHPProtocolMetrics:
         np.testing.assert_allclose(report.auc3d, 30 / 31, atol=1e-6)
         assert "PCK3D@150mm" in report.table()
         assert "pck3d_150" in report.to_json()
+
+    def test_pelvis_align(self, rng):
+        """Protocol rooting is at the LSP-14 hip midpoint (indices 2/3) —
+        after alignment the hips straddle the origin and a global offset
+        vanishes; ankle (index 0) errors stay on the ankle (ADVICE r3)."""
+        from human_3d_reconstruction_tpu.eval.metrics import (
+            joint_errors_mm,
+            pelvis_align,
+        )
+
+        j = jnp.asarray(rng.normal(size=(3, 14, 3)).astype(np.float32))
+        a = pelvis_align(j)
+        mid = (a[:, 2] + a[:, 3]) / 2
+        np.testing.assert_allclose(np.asarray(mid), 0.0, atol=1e-6)
+        # translation invariance
+        shifted = pelvis_align(j + jnp.asarray([0.5, -0.2, 1.0]))
+        np.testing.assert_allclose(np.asarray(shifted), np.asarray(a), atol=1e-5)
+        # a pure ankle offset survives alignment only on the ankle
+        pred = j.at[:, 0, 0].add(0.010)
+        errs = joint_errors_mm(pelvis_align(pred), pelvis_align(j), root_index=None)
+        np.testing.assert_allclose(np.asarray(errs[:, 0]), 10.0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(errs[:, 1:]), 0.0, atol=1e-3)

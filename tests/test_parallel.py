@@ -13,6 +13,10 @@ from human_3d_reconstruction_tpu.parallel import (
     shard_batch,
 )
 
+import pytest
+
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 
 class TestMeshPrimitives:
     def test_mesh_spans_devices(self):

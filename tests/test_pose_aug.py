@@ -23,6 +23,8 @@ from human_3d_reconstruction_tpu.smpl.pose_aug import (
 )
 from human_3d_reconstruction_tpu.utils.geometry import rodrigues
 
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 F_MIRROR = np.diag([-1.0, 1.0, 1.0]).astype(np.float32)
 
 # Left/right-symmetric 24-joint skeleton on the SMPL tree (x mirrored across

@@ -20,6 +20,8 @@ from human_3d_reconstruction_tpu.utils.geometry import (
 )
 from tests.oracle_smpl_torch import SMPLOracle, rodrigues_torch
 
+pytestmark = pytest.mark.fast  # pre-commit lane: `pytest -m fast` (<5 min warm)
+
 
 def random_params(rng, batch, num_betas=10, pose_scale=0.6):
     pose = rng.normal(scale=pose_scale, size=(batch, 72)).astype(np.float32)
