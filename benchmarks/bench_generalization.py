@@ -65,6 +65,12 @@ def main() -> None:
                     help="write the val split to <out>/val/ as PNGs + an"
                          " h36m-style npz index so cli.eval can score the"
                          " trained checkpoint end-to-end")
+    ap.add_argument("--protocol", choices=["skeleton", "mesh"],
+                    default="skeleton",
+                    help="image protocol: blob skeletons (r2/r3 baseline) "
+                         "or shaded textured body meshes over randomized "
+                         "backgrounds (r4 hardened protocol; "
+                         "viz/body_render.py)")
     ap.add_argument("--seed_train", type=int, default=0)
     ap.add_argument("--seed_val", type=int, default=7777)
     args = ap.parse_args()
@@ -102,11 +108,11 @@ def main() -> None:
     t0 = time.perf_counter()
     train_ds = SyntheticImageDataset(
         smpl_model, n=args.train_size, frame_hw=frame_hw,
-        seed=args.seed_train, render_skeleton=True,
+        seed=args.seed_train, render_mode=args.protocol,
     )
     val_ds = SyntheticImageDataset(
         smpl_model, n=args.val_size, frame_hw=frame_hw,
-        seed=args.seed_val, render_skeleton=True,
+        seed=args.seed_val, render_mode=args.protocol,
     )
     # Disjointness sanity: nearest train pose to each of a few val poses.
     d = np.linalg.norm(

@@ -258,15 +258,22 @@ class SyntheticImageDataset:
     the model, 2D keypoints are a weak-perspective projection mapped into a
     fake frame.
 
-    Two image modes:
-    - default: structured noise keyed by the sample index — pose is NOT
-      recoverable from pixels, so this mode can only be memorized (the
-      overfit-one-batch test of SURVEY.md section 4 item 5).
-    - ``render_skeleton=True``: the image IS a deterministic function of
-      the pose — one Gaussian blob per LSP-14 joint at its projected pixel
-      with a distinct RGB signature, blob radius encoding root-relative
-      depth — so image -> pose is learnable and a held-out split measures
-      GENERALIZATION, not memorization (VERDICT r2 item 2's protocol).
+    Three image modes (``render_mode``):
+    - ``"noise"`` (default): structured noise keyed by the sample index —
+      pose is NOT recoverable from pixels, so this mode can only be
+      memorized (the overfit-one-batch test of SURVEY.md section 4 item 5).
+    - ``"skeleton"`` (or legacy ``render_skeleton=True``): the image IS a
+      deterministic function of the pose — one Gaussian blob per LSP-14
+      joint at its projected pixel with a distinct RGB signature, blob
+      radius encoding root-relative depth — so image -> pose is learnable
+      and a held-out split measures GENERALIZATION, not memorization
+      (VERDICT r2 item 2's protocol).
+    - ``"mesh"``: the hardened protocol (VERDICT r3 weak #4) — the posed
+      SMPL body rendered as a shaded, body-textured triangle surface over
+      a randomized background (viz/body_render.py), on device in jitted
+      frame chunks. Still a deterministic function of (pose, shape, index),
+      but the encoder now faces self-occlusion, lighting, texture, and
+      background clutter instead of reading blob positions.
     """
 
     name = "synthetic"
@@ -280,12 +287,17 @@ class SyntheticImageDataset:
         frame_hw=(256, 256),
         seed: int = 0,
         render_skeleton: bool = False,
+        render_mode: str | None = None,
     ):
         import jax
         import jax.numpy as jnp
 
         from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
 
+        if render_mode is None:
+            render_mode = "skeleton" if render_skeleton else "noise"
+        if render_mode not in ("noise", "skeleton", "mesh"):
+            raise ValueError(f"unknown render_mode {render_mode!r}")
         rng = np.random.default_rng(seed)
         self.n = n
         self.frame_hw = frame_hw
@@ -304,13 +316,40 @@ class SyntheticImageDataset:
         self.centers = np.tile(np.array([[W / 2, H / 2]], np.float32), (n, 1))
         self.scales = np.full((n,), min(H, W) * 0.8, np.float32)
         # 2D kp: project with a fixed camera into the box.
-        cam_s = 0.9
-        xy = self.joints3d[:, :, :2] * cam_s  # [-1,1] crop units
+        self._cam_s = 0.9
+        xy = self.joints3d[:, :, :2] * self._cam_s  # [-1,1] crop units
         self.kp2d_px = self.centers[:, None] + xy * (self.scales[:, None, None] / 2.0)
         self.rng_images = np.random.default_rng(seed + 1)
-        self.render_skeleton = render_skeleton
+        self.render_mode = render_mode
+        self.render_skeleton = render_mode == "skeleton"  # legacy attribute
         self._palette = _joint_palette()
         self._image_cache: dict[int, np.ndarray] = {}
+        if render_mode == "mesh":
+            from human_3d_reconstruction_tpu.viz.body_render import (
+                body_vertex_colors,
+                local_surface_faces,
+                make_frame_renderer,
+            )
+
+            v_template = np.asarray(smpl_model.as_dict()["v_template"])
+            self._mesh_chunk = 16
+            self._mesh_render = make_frame_renderer(
+                local_surface_faces(v_template),
+                body_vertex_colors(v_template, seed=0),
+                frame_hw,
+                cam_s=self._cam_s,
+                chunk_frames=self._mesh_chunk,
+            )
+            # Verts are recomputed per chunk on device (storing n x 6890 x 3
+            # floats on the host would dwarf the uint8 frame cache).
+            self._smpl_fwd = jax.jit(
+                lambda p, b: smpl_forward(params, p, b)
+            )
+            # Light/background randomness: deterministic per (seed, index).
+            self._render_keys = (
+                np.uint64(seed + 1) * np.uint64(1_000_003)
+                + np.arange(n, dtype=np.uint64)
+            ).astype(np.uint32)
 
     def __len__(self):
         return self.n
@@ -338,9 +377,32 @@ class SyntheticImageDataset:
         img += 120.0 * np.einsum("khw,kc->hwc", blobs, self._palette)
         return np.clip(img, 0, 255).astype(np.float32)
 
+    def _render_mesh_chunk(self, i: int) -> None:
+        """Render the whole chunk containing sample i in ONE device program
+        (per-frame dispatch over the tunnel costs ~27 ms; chunking
+        amortizes it 16x) and cache the frames as uint8."""
+        c0 = (i // self._mesh_chunk) * self._mesh_chunk
+        c1 = min(c0 + self._mesh_chunk, self.n)
+        out = self._smpl_fwd(
+            np.asarray(self.thetas[c0:c1]), np.asarray(self.betas[c0:c1])
+        )
+        # Root-center EXACTLY like joints3d so the projection matches kp2d.
+        mu = np.asarray(out.eval_joints[:, :NUM_KP]).mean(axis=1, keepdims=True)
+        verts_c = np.asarray(out.verts) - mu
+        frames = self._mesh_render(
+            verts_c,
+            self.centers[c0:c1],
+            self.scales[c0:c1],
+            self._render_keys[c0:c1],
+        )
+        for j in range(c0, c1):
+            self._image_cache[j] = frames[j - c0]  # uint8 (H, W, 3)
+
     def __getitem__(self, i: int) -> Record:
         if i not in self._image_cache:
-            if self.render_skeleton:
+            if self.render_mode == "mesh":
+                self._render_mesh_chunk(i)
+            elif self.render_mode == "skeleton":
                 self._image_cache[i] = self._render(i)
             else:
                 r = np.random.default_rng(1000 + i)
