@@ -5,10 +5,13 @@ Usage:
         --image=path.jpg [--boxes=boxes.json] [--out=overlay.png] [overrides]
 
 Without --image a synthetic frame is generated (no sample data ships in
-this environment). --boxes is a JSON list of [cx, cy, scale] person boxes;
-without it one full-frame box is used (single-person mode). Multi-person
-(config 5) = multiple boxes: N crops are batched through ONE device program
-and each mesh is rendered back into the frame.
+this environment). --boxes is 'auto' (default: on-device saliency person
+proposal, utils/person_proposal.py — falls back to one full-frame box when
+nothing is salient, so a raw frame needs NO side inputs), 'full' (force the
+single full-frame box), or a JSON list of [cx, cy, scale] person boxes
+(GT or an external detector). Multi-person (config 5) = multiple boxes:
+N crops are batched through ONE device program and each mesh is rendered
+back into the frame.
 
 Reference call-stack twin: demo.py main (SURVEY.md section 3.2).
 """
@@ -59,20 +62,32 @@ def main(argv: list[str]) -> None:
         frame = np.random.default_rng(0).uniform(0, 255, (480, 640, 3)).astype(np.float32)
 
     H, W = frame.shape[:2]
-    if "boxes" in own:
+    boxes_spec = own.get("boxes", "auto")
+    if boxes_spec == "auto":
+        # Self-contained multi-person path (BASELINE config 5 with zero
+        # side inputs): on-device saliency proposal; falls back to ONE
+        # full-frame box when nothing salient stands out (noise frames,
+        # uniform scenes) — so a raw frame ALWAYS works.
+        from human_3d_reconstruction_tpu.utils.person_proposal import (
+            propose_person_boxes_np,
+        )
+
+        boxes = propose_person_boxes_np(frame)
+        echo(f"auto person proposal: {len(boxes)} box(es)")
+    elif boxes_spec == "full":
+        boxes = np.asarray([[W / 2, H / 2, min(H, W) * 0.9]], np.float32)
+    else:
         try:
-            boxes = np.asarray(json.loads(Path(own["boxes"]).read_text()), np.float32)
+            boxes = np.asarray(json.loads(Path(boxes_spec).read_text()), np.float32)
         except (OSError, json.JSONDecodeError, ValueError) as e:
             raise SystemExit(
-                f"error: --boxes must be a JSON list of [cx, cy, scale] rows "
-                f"({own['boxes']!r}: {e})"
+                f"error: --boxes must be 'auto', 'full', or a JSON list of "
+                f"[cx, cy, scale] rows ({boxes_spec!r}: {e})"
             )
         if boxes.ndim != 2 or boxes.shape[1] != 3 or len(boxes) == 0:
             raise SystemExit(
                 f"error: --boxes shape {boxes.shape} != (N, 3) [cx, cy, scale]"
             )
-    else:
-        boxes = np.asarray([[W / 2, H / 2, min(H, W) * 0.9]], np.float32)
     N = len(boxes)
     echo(f"frame {W}x{H}, {N} person box(es)")
 
