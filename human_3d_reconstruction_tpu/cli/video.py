@@ -17,9 +17,11 @@ once for the whole clip):
      so crops stay locked on target without a per-frame detector.
 
 --boxes gives frame-0 boxes (JSON (N, 3) [cx, cy, scale]); afterwards boxes
-track automatically (disable with --no_track). Without --boxes a full-frame
-box is used. Without --frames/--video a synthetic moving-noise clip is
-generated (no sample data ships in this environment).
+track automatically (disable with --no_track). Without --boxes the frame-0
+boxes come from the on-device person proposal (utils/person_proposal.py),
+falling back to a full-frame
+box when nothing is salient. Without --frames/--video a synthetic
+moving-noise clip is generated (no sample data ships in this environment).
 """
 
 from __future__ import annotations
@@ -174,7 +176,15 @@ def main(argv: list[str]) -> None:
             break
         H, W = frame.shape[:2]
         if boxes is None:
-            boxes = np.asarray([[W / 2, H / 2, min(H, W) * 0.9]], np.float32)
+            # Frame-0 boxes from the on-device saliency proposal (same
+            # cascade as cli.demo); boxes then track frame-to-frame. A
+            # frame with nothing salient falls back to one full-frame box.
+            from human_3d_reconstruction_tpu.utils.person_proposal import (
+                propose_person_boxes_np,
+            )
+
+            boxes = propose_person_boxes_np(frame)
+            echo(f"auto person proposal (frame 0): {len(boxes)} box(es)")
         # Smoothing re-decodes verts from the smoothed params, so the raw
         # vertex buffers never leave the device in that mode (the D2H copy
         # of (N, 6890, 3) is the dominant per-frame cost on remote hosts).

@@ -23,6 +23,49 @@ CACHE_DIR = Path(
 )
 
 
+def _host_fingerprint() -> str:
+    """CPU-feature fingerprint of this host (stable across processes).
+
+    XLA:CPU AOT cache entries bake in the COMPILE machine's features; when
+    the session later lands on a host with a different feature set, the
+    loader still deserializes them — with a SIGILL warning and, measured
+    r4, numerically different summation (an fp-tolerance test that passes
+    with a fresh cache failed against r3's cross-machine entries). The
+    cache key ignores this, so we fingerprint the host ourselves.
+    """
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith("flags"):
+                flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        f"{platform.machine()}|{flags}".encode()
+    ).hexdigest()[:16]
+
+
+def _invalidate_if_foreign(cache_dir: Path) -> None:
+    """Wipe cache entries compiled on a host with different CPU features."""
+    import shutil
+
+    tag_file = cache_dir / "HOST_FINGERPRINT"
+    fp = _host_fingerprint()
+    try:
+        if tag_file.exists() and tag_file.read_text() == fp:
+            return
+        if cache_dir.exists() and any(cache_dir.iterdir()):
+            shutil.rmtree(cache_dir)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        tag_file.write_text(fp)
+    except OSError:
+        pass  # read-only dir etc. — cache stays best-effort
+
+
 def configure_compile_cache(min_compile_seconds: float = 0.1) -> bool:
     """Enable the persistent cache; True when the config took.
 
@@ -30,10 +73,12 @@ def configure_compile_cache(min_compile_seconds: float = 0.1) -> bool:
     happen): 0.1 s measured best for the many-small-programs test suite;
     long-compile-only callers may pass a higher bar to keep the dir lean.
     Failures (older jax flag names, read-only dir) are non-fatal — cold
-    compiles still work.
+    compiles still work. Entries compiled on a host with different CPU
+    features are wiped first (see _host_fingerprint).
     """
     import jax
 
+    _invalidate_if_foreign(CACHE_DIR)
     try:
         jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR))
         jax.config.update(

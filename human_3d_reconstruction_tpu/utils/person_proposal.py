@@ -44,8 +44,8 @@ def propose_person_boxes(
     max_people: int = 8,
     grid: int = 8,
     iters: int = 48,
-    thresh_k: float = 0.8,
-    min_mass_cells: int = 6,
+    thresh_k: float = 1.0,
+    min_mass_cells: int = 20,
 ):
     """Propose up to `max_people` person boxes from an (H, W, 3) frame.
 
@@ -59,7 +59,11 @@ def propose_person_boxes(
             cells merge order stays correct but their label may not fully
             converge — 48 covers a person blob at any sane frame size.
         thresh_k: foreground threshold in saliency std-devs above mean.
-        min_mass_cells: drop components smaller than this many cells.
+        min_mass_cells: drop components smaller than this many cells. The
+            default (20) rejects the transient clusters that pure-noise
+            frames produce at this threshold (measured: 0.8 std / 6 cells
+            proposed several phantom boxes on uniform noise) while keeping
+            even a far person (~60 px box = ~28 cells at grid=8).
 
     Returns:
         boxes: (max_people, 3) float32 [cx, cy, scale] in pixels; slots
