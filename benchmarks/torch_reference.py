@@ -145,6 +145,101 @@ class TorchResNetTV(nn.Module):
         return x.mean(dim=(2, 3))
 
 
+class _TorchViTAttention(nn.Module):
+    """timm-style fused-qkv attention (attribute names `qkv`, `proj`)."""
+
+    def __init__(self, dim: int, num_heads: int):
+        super().__init__()
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, D = x.shape
+        H = self.num_heads
+        qkv = self.qkv(x).reshape(B, N, 3, H, D // H).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)  # each (B, H, N, hd)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, D)
+        return self.proj(x)
+
+
+class _TorchViTMLP(nn.Module):
+    def __init__(self, dim: int, hidden: int):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.act = nn.GELU()  # exact erf, matching models/vit.py
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+class _TorchViTBlock(nn.Module):
+    def __init__(self, dim: int, num_heads: int, mlp_ratio: int):
+        super().__init__()
+        # timm ViT pins LayerNorm eps=1e-6 (not torch's 1e-5 default) —
+        # matching flax's default, so the import is exact.
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _TorchViTAttention(dim, num_heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _TorchViTMLP(dim, mlp_ratio * dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _PatchEmbed(nn.Module):
+    def __init__(self, dim: int, patch_size: int):
+        super().__init__()
+        self.proj = nn.Conv2d(3, dim, patch_size, stride=patch_size)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)  # (B, N, D)
+
+
+class TorchViT(nn.Module):
+    """timm-named ViT (cls_token/pos_embed/patch_embed.proj/blocks.{i}.…/norm).
+
+    Stands in for real timm `vision_transformer` checkpoints (timm isn't in
+    this image): state_dict keys match timm's exactly, so
+    `utils/torch_import.import_torch_vit` is tested end-to-end against the
+    checkpoint layout users of the HMR-2.0-style torch line actually hold.
+    """
+
+    def __init__(
+        self,
+        dim: int = 192,
+        depth: int = 12,
+        num_heads: int = 3,
+        mlp_ratio: int = 4,
+        patch_size: int = 16,
+        img_size: int = 224,
+    ):
+        super().__init__()
+        n = (img_size // patch_size) ** 2
+        self.patch_embed = _PatchEmbed(dim, patch_size)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n + 1, dim))
+        nn.init.normal_(self.cls_token, std=0.02)
+        nn.init.normal_(self.pos_embed, std=0.02)
+        self.blocks = nn.Sequential(
+            *[_TorchViTBlock(dim, num_heads, mlp_ratio) for _ in range(depth)]
+        )
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x, pool: str = "cls"):
+        x = self.patch_embed(x)
+        B = x.shape[0]
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        x = self.norm(self.blocks(x))
+        return x[:, 0] if pool == "cls" else x[:, 1:].mean(dim=1)
+
+
 class TorchHMR(nn.Module):
     """Full reference-style pipeline: image -> theta/beta/cam -> mesh."""
 

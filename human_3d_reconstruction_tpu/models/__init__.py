@@ -14,10 +14,14 @@ from human_3d_reconstruction_tpu.models.hmr import (
     optimize_for_serving,
 )
 from human_3d_reconstruction_tpu.models.discriminator import SMPLDiscriminator
+from human_3d_reconstruction_tpu.models.vit import ViTConfig, ViTEncoder, VIT_VARIANTS
 
 __all__ = [
     "ResNet50",
     "ResNetConfig",
+    "ViTConfig",
+    "ViTEncoder",
+    "VIT_VARIANTS",
     "IEFRegressor",
     "NUM_SMPL_PARAMS",
     "HMRModel",

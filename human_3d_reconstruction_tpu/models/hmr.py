@@ -28,7 +28,7 @@ from human_3d_reconstruction_tpu.models.resnet import ResNet50, ResNetConfig
 class HMRConfig:
     num_iterations: int = 3
     hidden_size: int = 1024
-    encoder: str = "resnet50"  # resnet18/34/50/101 | hourglass
+    encoder: str = "resnet50"  # resnet18/34/50/101 | hourglass | vit_{ti,s,b}16
     encoder_dtype: Any = jnp.float32  # bf16 for max throughput
     encoder_stem: str = "conv7"  # 's2d': MXU-friendly space-to-depth stem
     encoder_fold_bn: bool = False  # serving: BN folded into conv weights
@@ -74,6 +74,20 @@ class HMRModel(nn.Module):
             features = HourglassEncoder(
                 config=HourglassConfig(
                     dtype=cfg.encoder_dtype, remat=cfg.encoder_remat
+                ),
+                name="encoder",
+            )(images, train=train)
+        elif cfg.encoder.startswith("vit"):
+            from human_3d_reconstruction_tpu.models.vit import (
+                VIT_VARIANTS,
+                ViTEncoder,
+            )
+
+            features = ViTEncoder(
+                config=dataclasses.replace(
+                    VIT_VARIANTS[cfg.encoder],
+                    dtype=cfg.encoder_dtype,
+                    remat=cfg.encoder_remat,
                 ),
                 name="encoder",
             )(images, train=train)

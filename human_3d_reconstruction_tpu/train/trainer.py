@@ -130,7 +130,9 @@ def create_states(
     gen_state = GenState(
         step=jnp.zeros((), jnp.int32),
         params=gen_vars["params"],
-        batch_stats=gen_vars["batch_stats"],
+        # BN-free encoders (ViT) have no batch_stats collection; an empty
+        # dict keeps the GenState/checkpoint tree shape uniform.
+        batch_stats=gen_vars.get("batch_stats", {}),
         opt_state=g_tx.init(gen_vars["params"]),
     )
     disc_state = DiscState(
@@ -332,7 +334,8 @@ def make_train_step(
                 total = total + w.shape_reg * jnp.mean(last_beta**2)
 
             metrics["loss_g"] = total
-            return total, (mutated["batch_stats"], metrics, last_theta, last_beta)
+            new_bs = mutated.get("batch_stats", {})
+            return total, (new_bs, metrics, last_theta, last_beta)
 
         (g_loss, (new_bs, metrics, fake_theta, fake_beta)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
@@ -481,7 +484,7 @@ def restore_inference_variables(mgr, variables_template, step=None):
         skeleton = GenState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            batch_stats=variables_template["batch_stats"],
+            batch_stats=variables_template.get("batch_stats", {}),
             opt_state=tx.init(params),
         )
         restored = mgr.restore(

@@ -162,6 +162,75 @@ def import_torch_resnet50(
     return params, stats
 
 
+def import_torch_vit(
+    state: Mapping[str, Any], pool: str = "cls", prefix: str = ""
+) -> dict:
+    """timm-style ViT state_dict -> flax params for `models/vit.ViTEncoder`.
+
+    Parity bridge for the transformer-encoder line of torch HMR work (the
+    HMR-2.0-style successors): their backbone checkpoints use timm
+    `vision_transformer` naming. Key map (why each transform exists):
+
+    - ``patch_embed.proj.weight`` (D, C, p, p) OIHW conv -> our dense
+      ``patch_embed`` kernel (p*p*C, D). Our reshape-patchify flattens each
+      patch in (ph, pw, C) order (pinned by tests/test_vit.py), so the conv
+      kernel permutes to (p, p, C, D) then flattens its first three axes.
+    - ``blocks.{i}.attn.qkv.weight`` (3D, D) row-packed [q; k; v] -> our
+      column-packed [q | k | v] kernel via ``.T`` (same packing as
+      torch.nn.MultiheadAttention's in_proj, per models/vit.py).
+    - ``norm1/norm2/norm`` -> ``ln1/ln2/ln_final`` (weight->scale).
+    - ``attn.proj`` -> ``attn.out``; ``mlp.fc1/fc2`` -> ``mlp_in/mlp_out``.
+    - classification ``head.*`` keys are ignored (we pool into the IEF
+      regressor instead).
+
+    pool='cls' is an exact import (tested against benchmarks.torch_reference
+    .TorchViT to f32 tolerance). pool='mean' imports a cls-token checkpoint
+    into the cls-free mean-pool architecture — the standard adaptation: the
+    cls row of pos_embed and the cls_token are dropped. That changes the
+    attention pattern (the cls key disappears), so it is a warm-start, not a
+    numerical identity; fine-tuning is expected.
+    """
+    if prefix:
+        state = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in state if k.startswith("blocks.")
+    )
+
+    w = state["patch_embed.proj.weight"]
+    D = w.shape[0] if hasattr(w, "shape") else np.asarray(w).shape[0]
+    kernel = _np(w).transpose(2, 3, 1, 0).reshape(-1, D)  # OIHW -> (p*p*C, D)
+    params: dict = {
+        "patch_embed": {"kernel": kernel, "bias": _np(state["patch_embed.proj.bias"])}
+    }
+
+    pos = _np(state["pos_embed"])  # (1, 1+N, D) with the cls row first
+    if pool == "cls":
+        params["cls_token"] = _np(state["cls_token"])
+        params["pos_embed"] = pos
+    elif pool == "mean":
+        params["pos_embed"] = pos[:, 1:] if "cls_token" in state else pos
+    else:
+        raise ValueError(f"unknown pool {pool!r}; use 'mean' or 'cls'")
+
+    def ln(tkey):
+        return {"scale": _np(state[f"{tkey}.weight"]), "bias": _np(state[f"{tkey}.bias"])}
+
+    def dense(tkey):
+        return {"kernel": _linear(state[f"{tkey}.weight"]), "bias": _np(state[f"{tkey}.bias"])}
+
+    for i in range(depth):
+        b = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "ln1": ln(f"{b}.norm1"),
+            "attn": {"qkv": dense(f"{b}.attn.qkv"), "out": dense(f"{b}.attn.proj")},
+            "ln2": ln(f"{b}.norm2"),
+            "mlp_in": dense(f"{b}.mlp.fc1"),
+            "mlp_out": dense(f"{b}.mlp.fc2"),
+        }
+    params["ln_final"] = ln("norm")
+    return params
+
+
 def import_torch_hmr_state_dict(
     state: Mapping[str, Any],
     variables_template: Any,

@@ -98,6 +98,88 @@ class TestTorchvisionDepths:
         np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
 
 
+class TestViTImport:
+    """timm-named ViT checkpoints import exactly (cls pool) — the parity
+    bridge for the transformer-encoder torch line (models/vit.py)."""
+
+    def _torch_vit(self, **kw):
+        from benchmarks.torch_reference import TorchViT
+
+        torch.manual_seed(7)
+        return TorchViT(**kw).eval()
+
+    def test_cls_pool_matches_exactly(self, rng):
+        import dataclasses
+
+        from human_3d_reconstruction_tpu.models.vit import ViTConfig, ViTEncoder
+        from human_3d_reconstruction_tpu.utils.torch_import import import_torch_vit
+
+        tm = self._torch_vit(
+            dim=64, depth=2, num_heads=4, patch_size=8, img_size=32
+        )
+        images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+        cfg = ViTConfig(width=64, depth=2, num_heads=4, patch_size=8, pool="cls")
+        model = ViTEncoder(config=cfg)
+        template = model.init(jax.random.key(0), jnp.asarray(images))
+        params = import_torch_vit(tm.state_dict(), pool="cls")
+
+        import chex
+
+        chex.assert_trees_all_equal_structs(
+            {"params": params}, jax.tree.map(np.asarray, template)
+        )
+        chex.assert_trees_all_equal_shapes(
+            {"params": params}, jax.tree.map(np.asarray, template)
+        )
+
+        ours = np.asarray(
+            model.apply({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(images))
+        )
+        with torch.no_grad():
+            theirs = tm(torch.from_numpy(images).permute(0, 3, 1, 2), pool="cls").numpy()
+        np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
+
+    def test_mean_pool_warm_start_structure(self, rng):
+        """Mean-pool import drops the cls rows; the result must be a valid
+        params tree for the cls-free architecture (warm start, not identity —
+        the docstring documents why)."""
+        from human_3d_reconstruction_tpu.models.vit import ViTConfig, ViTEncoder
+        from human_3d_reconstruction_tpu.utils.torch_import import import_torch_vit
+
+        tm = self._torch_vit(dim=64, depth=2, num_heads=4, patch_size=8, img_size=32)
+        images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+        cfg = ViTConfig(width=64, depth=2, num_heads=4, patch_size=8, pool="mean")
+        model = ViTEncoder(config=cfg)
+        template = model.init(jax.random.key(0), jnp.asarray(images))
+        params = import_torch_vit(tm.state_dict(), pool="mean")
+
+        import chex
+
+        chex.assert_trees_all_equal_structs(
+            {"params": params}, jax.tree.map(np.asarray, template)
+        )
+        chex.assert_trees_all_equal_shapes(
+            {"params": params}, jax.tree.map(np.asarray, template)
+        )
+        # pos_embed rows are the patch rows of the checkpoint (cls dropped).
+        np.testing.assert_array_equal(
+            params["pos_embed"], tm.pos_embed.detach().numpy()[:, 1:]
+        )
+        feat = model.apply(
+            {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(images)
+        )
+        assert np.isfinite(np.asarray(feat)).all()
+
+    def test_unknown_pool_raises(self):
+        from human_3d_reconstruction_tpu.utils.torch_import import import_torch_vit
+
+        tm = self._torch_vit(dim=64, depth=1, num_heads=4, patch_size=8, img_size=32)
+        with pytest.raises(ValueError, match="unknown pool"):
+            import_torch_vit(tm.state_dict(), pool="max")
+
+
 class TestFullHMRImport:
     def test_params_match_torch_pipeline(self, torch_model, smpl_model, rng):
         images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
