@@ -73,6 +73,23 @@ class TestServing:
         c = session.recover_clip([u8], [[[80.0, 60.0, 90.0]]])[0][0]
         np.testing.assert_allclose(c.verts, b.verts, atol=2e-5)
 
+    def test_vit_encoder_session(self, smpl_model, frame):
+        """A BN-free ViT config serves through the default optimize=True path
+        (the resnet-only graph rewrite is skipped, not an error)."""
+        import jax.numpy as jnp
+
+        cfg = HMRConfig(encoder="vit_ti16", hidden_size=64)
+        model = HMRModel(config=cfg)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        vit_session = MeshRecoverySession(
+            variables, smpl_model, hmr_config=cfg, crop_size=32,
+            smpl_path="xla", buckets=(1, 2)
+        )
+        results = vit_session.recover(frame, [[80.0, 60.0, 90.0]])
+        assert len(results) == 1
+        assert results[0].verts.shape == (6890, 3)
+        assert np.all(np.isfinite(results[0].verts))
+
     def test_fields_selection_skips_transfer(self, session, frame):
         """fields=(...) fetches only those outputs (verts stays on device)."""
         slim = session.recover(frame, [[80.0, 60.0, 90.0]],
