@@ -50,6 +50,9 @@ def main() -> None:
                     help="cosine-decay g_lr over --steps (tail-stabilizes "
                          "the noisy adversarial descent)")
     ap.add_argument("--encoder_dtype", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--encoder", default="resnet50",
+                    help="HMRConfig.encoder: resnet18/34/50/101 | hourglass "
+                         "| vit_{ti,s,b}16")
     ap.add_argument("--smpl", choices=["xla", "pallas"], default="pallas")
     ap.add_argument("--no_adversarial", action="store_true")
     ap.add_argument("--no_aug", action="store_true")
@@ -131,7 +134,7 @@ def main() -> None:
         aug_rot_mode=args.rot_mode,
         aug_scale_jitter=0.0 if args.no_aug else 0.15,
         aug_flip=not args.no_aug,
-        hmr=HMRConfig(encoder_dtype=dtype),
+        hmr=HMRConfig(encoder=args.encoder, encoder_dtype=dtype),
     )
     mean = mean_params_from_pool(train_ds.thetas, train_ds.betas)
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
@@ -348,6 +351,7 @@ def main() -> None:
         "val_size": args.val_size,
         "aug": not args.no_aug,
         "adversarial": not args.no_adversarial,
+        "encoder": args.encoder,
         "encoder_dtype": args.encoder_dtype,
         "log": str(log_path),
     }

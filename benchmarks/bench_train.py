@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--batches", type=str, default="16,64,128")
     ap.add_argument("--crop", type=int, default=224)
+    ap.add_argument("--encoder", default="resnet50",
+                    help="HMRConfig.encoder: resnet18/34/50/101 | hourglass "
+                         "| vit_{ti,s,b}16")
     ap.add_argument(
         "--configs",
         type=str,
@@ -86,7 +89,8 @@ def main() -> None:
         )
         config = TrainConfig(
             crop_size=args.crop,
-            hmr=HMRConfig(encoder_dtype=encoder_dtype, encoder_remat=args.remat),
+            hmr=HMRConfig(encoder=args.encoder, encoder_dtype=encoder_dtype,
+                          encoder_remat=args.remat),
             **aug,
         )
         gen, disc, model, disc_mod, g_tx, d_tx = create_states(
@@ -147,6 +151,7 @@ def main() -> None:
         return {
             "metric": "train_step_img_per_s",
             "batch": B,
+            "encoder": args.encoder,
             "encoder_dtype": "bf16" if encoder_dtype == jnp.bfloat16 else "f32",
             "smpl": smpl,
             "value": round(B / dt, 1),
