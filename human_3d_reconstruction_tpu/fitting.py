@@ -11,6 +11,9 @@ Objective per sample:
     lambda_kp * L1(project(joints3d, cam), kp2d; vis)
   + lambda_prior_theta * ||theta - theta_init||^2     (stay near regression)
   + lambda_prior_beta  * ||beta||^2                   (shape prior)
+  [+ lambda_pose_prior * GMM_NLL(theta_body)]         (optional — SMPLify's
+     mixture pose prior, smpl/pose_prior.py; evaluated as K quadratics
+     + logsumexp inside the same jitted scan)
   [+ lambda_mask * (1 - IoU(soft_silhouette, target_mask))]  (optional —
      SMPLify-with-silhouettes; the mask renders on device through the
      differentiable viz/device_raster.py::soft_silhouette, ~30 ms/step
@@ -51,6 +54,9 @@ def refine_params(
     lambda_prior_beta: float = 0.01,
     fit_beta: bool = True,
     fit_cam: bool = True,
+    pose_prior=None,
+    lambda_pose_prior: float = 1e-3,
+    pose_prior_mode: str = "logsumexp",
     parents: Optional[list[int]] = None,
     masks: Optional[jax.Array] = None,
     lambda_mask: float = 1.0,
@@ -68,6 +74,10 @@ def refine_params(
         kp2d: (B, 14, 2) observed keypoints in normalized crop coords.
         vis:  (B, 14) visibility.
         fit_beta/fit_cam: freeze those variables when False.
+        pose_prior: optional `smpl.pose_prior.PosePrior` (GMM over the
+            69-d body pose); adds `lambda_pose_prior * NLL` to the
+            objective. `pose_prior_mode='min'` uses SMPLify's
+            min-of-quadratics bound instead of the exact mixture NLL.
         masks: optional (B, Hm, Wm) target silhouettes over the crop
             ([-1, 1] maps to the mask edges); adds a soft-IoU term
             rendered through the differentiable device rasterizer.
@@ -144,6 +154,12 @@ def refine_params(
         l_pt = jnp.mean(jnp.sum((th - theta0) ** 2, axis=-1))
         l_pb = jnp.mean(jnp.sum(be_eff**2, axis=-1))
         total = lambda_kp * l_kp + lambda_prior_theta * l_pt + lambda_prior_beta * l_pb
+        if pose_prior is not None:
+            from human_3d_reconstruction_tpu.smpl.pose_prior import pose_nll
+
+            total = total + lambda_pose_prior * jnp.mean(
+                pose_nll(pose_prior, th, mode=pose_prior_mode)
+            )
         if masks is not None:
             # project all verts to mask-pixel space and render soft
             # silhouettes (differentiable w.r.t. theta/beta/cam)

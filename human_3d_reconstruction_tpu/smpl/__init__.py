@@ -27,6 +27,13 @@ from human_3d_reconstruction_tpu.smpl.forward import (
     smpl_forward,
     SMPLOutput,
 )
+from human_3d_reconstruction_tpu.smpl.pose_prior import (
+    PosePrior,
+    fit_pose_prior,
+    load_pose_prior,
+    pose_nll,
+    save_pose_prior,
+)
 
 __all__ = [
     "SMPLModel",
@@ -34,6 +41,11 @@ __all__ = [
     "synthetic_smpl_model",
     "smpl_forward",
     "SMPLOutput",
+    "PosePrior",
+    "fit_pose_prior",
+    "pose_nll",
+    "save_pose_prior",
+    "load_pose_prior",
     "NUM_VERTS",
     "NUM_JOINTS",
     "NUM_BETAS",

@@ -31,13 +31,21 @@ def rodrigues(axis_angle: jax.Array) -> jax.Array:
     """
     aa = axis_angle.astype(jnp.float32)
     theta_sq = jnp.sum(aa * aa, axis=-1, keepdims=True)  # (..., 1)
-    theta = jnp.sqrt(theta_sq + 1e-24)
 
-    # sin(t)/t, (1-cos(t))/t^2 with series fallbacks near 0.
+    # sin(t)/t, (1-cos(t))/t^2 with series fallbacks near 0. The non-small
+    # branch runs on inputs clamped to the branch's own selection region
+    # (>= 1e-8): jnp.where saves only the VALUE — autodiff still
+    # differentiates the unselected branch, and at theta_sq = 0 the
+    # quotient rule divides by maximum(theta_sq, 1e-24)^2, which
+    # UNDERFLOWS f32 to 0 -> inf, and 0 * inf = NaN through the where
+    # (observed: NaN d(joints)/d(theta) for any exactly-zero axis-angle,
+    # e.g. an un-fitted global rotation in fitting.refine_params).
     small = theta_sq < 1e-8
+    theta_sq_safe = jnp.maximum(theta_sq, 1e-8)
+    theta = jnp.sqrt(theta_sq_safe)
     sin_over = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
     one_minus_cos_over = jnp.where(
-        small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta_sq, 1e-24)
+        small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq_safe
     )
 
     x, y, z = aa[..., 0], aa[..., 1], aa[..., 2]

@@ -44,6 +44,21 @@ class TestRodrigues:
         g = jax.grad(lambda v: jnp.sum(rodrigues(v)))(jnp.full((3,), 1e-9))
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_gradient_finite_at_exact_zero(self):
+        """Regression: at an EXACTLY zero axis-angle the unselected
+        (1-cos t)/t^2 branch's quotient-rule gradient used to divide by
+        maximum(t^2, 1e-24)^2 — an f32 underflow to 0 -> inf, and
+        0 * inf = NaN through jnp.where. Hit in practice by
+        fitting.refine_params on a pose with an identity global rotation.
+        The analytic gradient at 0 is d(sum R)/dv = sum of [v]_x basis
+        derivatives: each component's skew pattern sums to 0."""
+        g = jax.grad(lambda v: jnp.sum(rodrigues(v)))(jnp.zeros((3,)))
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+        # Mixed batch (one zero row, one generic) stays finite everywhere.
+        aa = jnp.asarray([[0.0, 0.0, 0.0], [0.3, -0.2, 0.5]])
+        gb = jax.grad(lambda v: jnp.sum(rodrigues(v) ** 2))(aa)
+        assert np.all(np.isfinite(np.asarray(gb)))
+
     def test_orthonormal(self, rng):
         aa = rng.normal(scale=2.0, size=(64, 3)).astype(np.float32)
         R = np.asarray(rodrigues(jnp.asarray(aa)))
