@@ -103,6 +103,35 @@ def main(argv: list[str]) -> None:
         raw_smpl = jax.tree.map(jnp.asarray, smpl_model.as_dict())
         echo(f"test-time refinement ON: {config.fit_steps} steps/batch")
 
+        # Optional GMM pose prior in the refinement objective. 'mosh' fits
+        # from the configured pool (or the synthetic stand-in) at startup;
+        # the fitted prior is a small pytree the jitted program closes over.
+        pose_prior = None
+        if config.fit_pose_prior:
+            from human_3d_reconstruction_tpu.smpl.pose_prior import (
+                resolve_pose_prior,
+            )
+
+            mosh = None
+            if config.fit_pose_prior == "mosh":
+                from human_3d_reconstruction_tpu.data.datasets import (
+                    MoshParamSource,
+                )
+
+                mosh = (
+                    MoshParamSource.from_npz(config.data.mosh_path)
+                    if config.data.mosh_path
+                    else MoshParamSource.synthetic(
+                        np.random.default_rng(config.seed)
+                    )
+                )
+            pose_prior = resolve_pose_prior(config.fit_pose_prior, mosh=mosh)
+            echo(
+                f"pose prior ON ({config.fit_pose_prior}, "
+                f"K={pose_prior.means.shape[0]}, "
+                f"weight={config.fit_prior_weight})"
+            )
+
         from functools import partial
 
         @partial(jax.jit, static_argnames=("fit_steps",))
@@ -117,6 +146,8 @@ def main(argv: list[str]) -> None:
             result = refine_params(
                 raw_smpl, out.theta, out.beta, out.cam,
                 kp_crop, kp2d[:, :, 2], num_steps=fit_steps,
+                pose_prior=pose_prior,
+                lambda_pose_prior=config.fit_prior_weight,
             )
             refined = smpl_forward(raw_smpl, result.theta, result.beta)
             return refined.eval_joints[:, :NUM_KP]

@@ -60,6 +60,11 @@ class RunConfig:
     mean_params: str = ""
     debug_nans: bool = False   # dev mode: fail fast on NaNs (SURVEY sec. 5)
     fit_steps: int = 0         # >0: SMPLify-style test-time refinement steps
+    # GMM pose prior for the refinement objective (smpl/pose_prior.py):
+    # '' = off; 'mosh' = fit K=8 from the mosh pool (--data.mosh_path, or
+    # the synthetic pool) at startup; else a path to a saved prior npz.
+    fit_pose_prior: str = ""
+    fit_prior_weight: float = 1e-3
     seed: int = 0
     total_steps: int = 10000
     # Also the async-dispatch sync cadence: each logged step reads metrics

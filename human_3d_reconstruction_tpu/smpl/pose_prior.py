@@ -165,6 +165,23 @@ def fit_pose_prior(
     return PosePrior(means=means, prec_chol=w, log_norm=log_norm)
 
 
+def resolve_pose_prior(
+    spec: str, mosh=None, num_components: int = 8
+) -> PosePrior | None:
+    """Config-level resolution mirroring `mean_params.resolve_mean_params`.
+
+    spec: '' -> None (prior off); 'mosh' -> fit from the given
+    MoshParamSource pool; any other string -> load that npz.
+    """
+    if not spec:
+        return None
+    if spec == "mosh":
+        if mosh is None:
+            raise ValueError("fit_pose_prior='mosh' needs a mosh source")
+        return fit_pose_prior(mosh.thetas, num_components=num_components)
+    return load_pose_prior(spec)
+
+
 def save_pose_prior(path: str, prior: PosePrior) -> None:
     np.savez(
         path,

@@ -129,6 +129,26 @@ class TestCLISmoke:
         assert "mpjpe_mm" in blob and np.isfinite(blob["mpjpe_mm"])
         assert "refinement ON" in r.stderr
 
+    def test_eval_cli_with_fit_pose_prior(self, tmp_path):
+        """--fit_pose_prior=mosh: GMM prior fit at startup, used in the
+        jitted refinement objective."""
+        r = run_cli(
+            "eval",
+            [
+                "h36m_eval",
+                "--fit_steps=2",
+                "--fit_pose_prior=mosh",
+                "--fit_prior_weight=0.001",
+                f"--eval.report_path={tmp_path}/rep.json",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert "mpjpe_mm" in blob and np.isfinite(blob["mpjpe_mm"])
+        assert "pose prior ON (mosh, K=8" in r.stderr
+
     def test_convert_annotations_usage_error(self, tmp_path):
         r = run_cli("convert_annotations", ["nope"], cwd=tmp_path)
         assert r.returncode == 2
