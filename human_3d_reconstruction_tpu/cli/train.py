@@ -123,6 +123,34 @@ def main(argv: list[str]) -> None:
         train_cfg, jax.random.key(config.seed), smpl_model.as_dict(),
         mean_params=mean_params,
     )
+    pose_prior = None
+    if config.pose_prior:
+        from human_3d_reconstruction_tpu.smpl.pose_prior import (
+            resolve_pose_prior,
+            save_pose_prior,
+        )
+
+        pose_prior = resolve_pose_prior(config.pose_prior, mosh)
+        if config.pose_prior == "mosh":
+            from pathlib import Path
+
+            Path(config.checkpoint_dir).mkdir(parents=True, exist_ok=True)
+            save_pose_prior(
+                str(Path(config.checkpoint_dir) / "pose_prior.npz"), pose_prior
+            )
+        w = train_cfg.loss_weights
+        if w.pose_prior <= 0:
+            # A configured prior with zero weight is a silent no-op; default
+            # to a mild regularizer so --pose_prior=mosh works standalone.
+            train_cfg = dataclasses.replace(
+                train_cfg,
+                loss_weights=dataclasses.replace(w, pose_prior=1e-3),
+            )
+        echo(
+            f"pose prior: {config.pose_prior} (K={pose_prior.means.shape[0]}, "
+            f"weight={train_cfg.loss_weights.pose_prior})"
+        )
+
     smpl_apply = None
     if config.smpl_path == "pallas":
         # Concrete prepared params closed into the loss: Pallas forward AND
@@ -135,7 +163,8 @@ def main(argv: list[str]) -> None:
         smpl_apply = lambda _, theta, beta: smpl_forward_fused(prepared, theta, beta)
         echo("SMPL decode in train loss: fused Pallas fwd+bwd")
     step_fn = make_jitted_train_step(
-        train_cfg, model, disc_mod, g_tx, d_tx, smpl_apply=smpl_apply
+        train_cfg, model, disc_mod, g_tx, d_tx, smpl_apply=smpl_apply,
+        pose_prior=pose_prior,
     )
 
     mgr = make_checkpoint_manager(config.checkpoint_dir)

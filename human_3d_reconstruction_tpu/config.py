@@ -58,6 +58,11 @@ class RunConfig:
     # and persist to <checkpoint_dir>/mean_params.npz; else a path to a
     # previously saved npz. Inference CLIs auto-restore the persisted file.
     mean_params: str = ""
+    # Training-time GMM pose prior on predicted theta ('' = off; 'mosh' =
+    # fit from the mosh pool and persist to <checkpoint_dir>/pose_prior.npz;
+    # else a saved npz). Weight lives in --train.loss_weights.pose_prior.
+    # With use_adversarial=False this is the discriminator-free mode.
+    pose_prior: str = ""
     debug_nans: bool = False   # dev mode: fail fast on NaNs (SURVEY sec. 5)
     fit_steps: int = 0         # >0: SMPLify-style test-time refinement steps
     # GMM pose prior for the refinement objective (smpl/pose_prior.py):

@@ -57,6 +57,7 @@ def refine_params(
     pose_prior=None,
     lambda_pose_prior: float = 1e-3,
     pose_prior_mode: str = "logsumexp",
+    lambda_angle_prior: float = 0.0,
     parents: Optional[list[int]] = None,
     masks: Optional[jax.Array] = None,
     lambda_mask: float = 1.0,
@@ -78,6 +79,8 @@ def refine_params(
             69-d body pose); adds `lambda_pose_prior * NLL` to the
             objective. `pose_prior_mode='min'` uses SMPLify's
             min-of-quadratics bound instead of the exact mixture NLL.
+        lambda_angle_prior: > 0 adds SMPLify's knee/elbow hyperextension
+            penalty (`smpl.pose_prior.angle_prior`).
         masks: optional (B, Hm, Wm) target silhouettes over the crop
             ([-1, 1] maps to the mask edges); adds a soft-IoU term
             rendered through the differentiable device rasterizer.
@@ -160,6 +163,10 @@ def refine_params(
             total = total + lambda_pose_prior * jnp.mean(
                 pose_nll(pose_prior, th, mode=pose_prior_mode)
             )
+        if lambda_angle_prior > 0.0:
+            from human_3d_reconstruction_tpu.smpl.pose_prior import angle_prior
+
+            total = total + lambda_angle_prior * jnp.mean(angle_prior(th))
         if masks is not None:
             # project all verts to mask-pixel space and render soft
             # silhouettes (differentiable w.r.t. theta/beta/cam)

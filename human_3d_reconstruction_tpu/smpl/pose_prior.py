@@ -165,6 +165,39 @@ def fit_pose_prior(
     return PosePrior(means=means, prec_chol=w, log_norm=log_norm)
 
 
+# SMPLify's "unnatural bend" angle prior (Bogo et al. 2016, eq. 7):
+# exp(sign * theta) per hinge joint, exploding smoothly as the joint bends
+# past its natural stop. (full-pose joint index, axis-angle component, sign)
+# per the SMPL rest-pose conventions: knees (4/5) flex about +x so
+# hyperextension is -x; elbows (18/19) flex about -y (left) / +y (right).
+# The table's mirror consistency is pinned structurally: flip_pose (L/R
+# permutation + y/z negation) must leave the prior invariant — so the
+# elbow signs are opposite and the knee signs equal (tests/test_pose_prior).
+ANGLE_PRIOR_TERMS: tuple[tuple[int, int, float], ...] = (
+    (4, 0, -1.0),   # left knee
+    (5, 0, -1.0),   # right knee
+    (18, 1, 1.0),   # left elbow
+    (19, 1, -1.0),  # right elbow
+)
+
+
+def angle_prior(theta: jax.Array) -> jax.Array:
+    """Hyperextension penalty: sum_j exp(sign_j * theta_j) over knees/elbows.
+
+    theta: (..., 72) full pose or (..., 69) body pose. Returns (...,).
+    Smooth and cheap (4 exp), so it rides inside any jitted objective.
+    """
+    t = jnp.asarray(theta, jnp.float32)
+    off = 0 if t.shape[-1] == BODY_DIM + 3 else -3
+    if t.shape[-1] not in (BODY_DIM, BODY_DIM + 3):
+        raise ValueError(f"expected trailing dim 69 or 72, got {t.shape}")
+    terms = [
+        jnp.exp(sign * t[..., joint * 3 + axis + off])
+        for joint, axis, sign in ANGLE_PRIOR_TERMS
+    ]
+    return sum(terms)
+
+
 def resolve_pose_prior(
     spec: str, mosh=None, num_components: int = 8
 ) -> PosePrior | None:

@@ -33,6 +33,10 @@ class LossWeights:
     smpl_params: float = 60.0
     adversarial: float = 1.0
     shape_reg: float = 0.0  # optional beta L2 when no adversarial prior
+    # GMM pose-prior NLL on the final predicted theta (smpl/pose_prior.py);
+    # active when make_train_step receives a pose_prior. The
+    # likelihood-based alternative to the adversarial prior.
+    pose_prior: float = 0.0
 
 
 def _masked_mean(err: jax.Array, mask: jax.Array) -> jax.Array:

@@ -264,8 +264,16 @@ def make_train_step(
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
     smpl_apply=None,
+    pose_prior=None,
 ):
     """Build the fused G+D train step (jit it at the call site with shardings).
+
+    pose_prior: optional `smpl.pose_prior.PosePrior`; with
+    `loss_weights.pose_prior > 0` the generator loss adds the mixture NLL
+    of the final predicted pose — a likelihood-based alternative (or
+    complement) to the adversarial prior: same mosh pool, no discriminator,
+    no GAN dynamics (`use_adversarial=False` + pose_prior is the
+    discriminator-free mode).
 
     smpl_apply(smpl_params, theta, beta) -> SMPLOutput; defaults to the XLA
     twin. Pass a closure over CONCRETE `prepare_fused_smpl(...)` arrays (e.g.
@@ -332,6 +340,12 @@ def make_train_step(
                 metrics["loss_adv_g"] = l_adv
             if w.shape_reg > 0:
                 total = total + w.shape_reg * jnp.mean(last_beta**2)
+            if pose_prior is not None and w.pose_prior > 0:
+                from human_3d_reconstruction_tpu.smpl.pose_prior import pose_nll
+
+                l_prior = jnp.mean(pose_nll(pose_prior, last_theta))
+                total = total + w.pose_prior * l_prior
+                metrics["loss_pose_prior"] = l_prior
 
             metrics["loss_g"] = total
             new_bs = mutated.get("batch_stats", {})
@@ -381,12 +395,16 @@ def make_jitted_train_step(
     d_tx: optax.GradientTransformation,
     donate: bool = True,
     smpl_apply=None,
+    pose_prior=None,
 ):
     """jit the train step, donating the old gen/disc states — they are
     consumed every step, so donation halves the peak param+opt memory.
     Use donate=False when the caller keeps the input state alive (tests).
     """
-    step = make_train_step(config, model, disc, g_tx, d_tx, smpl_apply=smpl_apply)
+    step = make_train_step(
+        config, model, disc, g_tx, d_tx, smpl_apply=smpl_apply,
+        pose_prior=pose_prior,
+    )
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 

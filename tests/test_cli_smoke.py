@@ -255,6 +255,29 @@ class TestCLISmoke:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "data echoing x2" in r.stderr or "data echoing x2" in r.stdout
 
+    def test_train_cli_pose_prior_discriminator_free(self, tmp_path):
+        """--pose_prior=mosh + --train.use_adversarial=false: the
+        likelihood-prior training mode; the fitted prior persists next to
+        the checkpoints."""
+        r = run_cli(
+            "train",
+            [
+                "single_image",
+                "--total_steps=3",
+                "--log_every=1",
+                "--pose_prior=mosh",
+                "--train.use_adversarial=false",
+                "--data.batch_size=2",
+                "--data.crop_size=48",
+                "--data.synthetic_size=8",
+                f"--checkpoint_dir={tmp_path}/ckpt",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "pose prior: mosh (K=8" in r.stderr
+        assert (tmp_path / "ckpt" / "pose_prior.npz").exists()
+
     def test_train_cli_round3_features(self, tmp_path):
         """All round-3 training flags through the real CLI in one run:
         dataset-derived mean seed (persisted for inference), cosine lr

@@ -141,6 +141,127 @@ class TestNLL:
         )
 
 
+class TestAnglePrior:
+    def test_flip_invariant(self):
+        """The sign table must be mirror-consistent: flip_pose (L/R joint
+        permutation + y/z negation) leaves the penalty unchanged."""
+        from human_3d_reconstruction_tpu.smpl.pose_aug import flip_pose
+        from human_3d_reconstruction_tpu.smpl.pose_prior import angle_prior
+
+        theta = jnp.asarray(
+            np.random.default_rng(3).normal(scale=0.5, size=(8, 72)).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(angle_prior(theta)),
+            np.asarray(angle_prior(flip_pose(theta))),
+            rtol=1e-5,
+        )
+
+    def test_penalizes_hyperextension_only(self):
+        from human_3d_reconstruction_tpu.smpl.pose_prior import (
+            ANGLE_PRIOR_TERMS,
+            angle_prior,
+        )
+
+        base = float(angle_prior(jnp.zeros((72,))))
+        for joint, axis, sign in ANGLE_PRIOR_TERMS:
+            bad = jnp.zeros((72,)).at[joint * 3 + axis].set(sign * 1.0)
+            good = jnp.zeros((72,)).at[joint * 3 + axis].set(-sign * 1.0)
+            assert float(angle_prior(bad)) > base > float(angle_prior(good))
+
+    def test_69d_and_grad(self):
+        from human_3d_reconstruction_tpu.smpl.pose_prior import angle_prior
+
+        theta = jnp.asarray(
+            np.random.default_rng(4).normal(scale=0.3, size=(2, 72)).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(angle_prior(theta)), np.asarray(angle_prior(theta[:, 3:]))
+        )
+        g = jax.grad(lambda t: jnp.sum(angle_prior(t)))(theta)
+        assert np.isfinite(np.asarray(g)).all()
+        with pytest.raises(ValueError, match="trailing dim"):
+            angle_prior(jnp.zeros((2, 70)))
+
+    def test_fitting_accepts_angle_prior(self, smpl_model):
+        from human_3d_reconstruction_tpu.fitting import refine_params
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+        from human_3d_reconstruction_tpu.utils.geometry import orthographic_project
+        from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+
+        params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+        theta0 = jnp.zeros((1, 72)).at[0, 12].set(-0.8)  # hyperextended L knee
+        cam = jnp.asarray([[0.9, 0.0, 0.0]])
+        out = smpl_forward(params, theta0, jnp.zeros((1, 10)))
+        kp2d = orthographic_project(out.eval_joints[:, :NUM_KP], cam)
+        res = refine_params(
+            params, theta0, jnp.zeros((1, 10)), cam, kp2d,
+            jnp.ones((1, NUM_KP)), num_steps=20,
+            lambda_angle_prior=0.1, lambda_prior_theta=0.0,
+        )
+        assert np.isfinite(np.asarray(res.loss_history)).all()
+        # the hyperextended knee component relaxed toward flexion
+        assert float(res.theta[0, 12]) > float(theta0[0, 12])
+
+
+class TestTrainerIntegration:
+    def test_discriminator_free_prior_step(self, smpl_model):
+        """make_train_step(pose_prior=...) with use_adversarial=False: the
+        likelihood-prior mode reports a finite loss_pose_prior metric and
+        produces finite updates."""
+        from human_3d_reconstruction_tpu.data.datasets import (
+            SyntheticImageDataset,
+            collate,
+        )
+        from human_3d_reconstruction_tpu.models import HMRConfig
+        from human_3d_reconstruction_tpu.train.losses import LossWeights
+        from human_3d_reconstruction_tpu.train.trainer import (
+            TrainConfig,
+            create_states,
+            make_train_step,
+        )
+
+        pool, _, _ = _two_cluster_pool(n_per=100)
+        prior = fit_pose_prior(pool, num_components=2, num_iters=20)
+        config = TrainConfig(
+            crop_size=32,
+            use_adversarial=False,
+            loss_weights=LossWeights(pose_prior=1e-3),
+            hmr=HMRConfig(encoder="resnet18", hidden_size=64),
+        )
+        gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        step_fn = jax.jit(
+            make_train_step(config, model, disc_mod, g_tx, d_tx, pose_prior=prior)
+        )
+        smpl_params = jax.tree.map(jnp.asarray, smpl_model.as_dict())
+        ds = SyntheticImageDataset(smpl_model, n=4, frame_hw=(48, 48), seed=0)
+        b = collate([ds[i] for i in range(4)])
+        batch = {
+            "images": jnp.asarray(b.images),
+            "centers": jnp.asarray(b.centers),
+            "scales": jnp.asarray(b.scales),
+            "kp2d": jnp.asarray(b.kp2d),
+            "joints3d": jnp.asarray(b.joints3d),
+            "has_3d": jnp.asarray(b.has_3d),
+            "theta": jnp.asarray(b.theta),
+            "beta": jnp.asarray(b.beta),
+            "has_smpl": jnp.asarray(b.has_smpl),
+        }
+        mt = jnp.zeros((4, 72), jnp.float32)
+        mb = jnp.zeros((4, 10), jnp.float32)
+        new_gen, new_disc, metrics = step_fn(
+            gen, disc, smpl_params, batch, mt, mb, jax.random.key(1)
+        )
+        assert "loss_pose_prior" in metrics
+        assert np.isfinite(float(metrics["loss_pose_prior"]))
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        assert all(
+            np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(new_gen.params)
+        )
+
+
 class TestFittingIntegration:
     def test_prior_pulls_pose_toward_pool(self, smpl_model):
         """refine_params with a strong pose prior reduces the prior NLL of an
