@@ -169,6 +169,61 @@ def make_recover_from_single_frame(
     return jax.jit(fn)
 
 
+def make_refined_recover_from_single_frame(
+    model: HMRModel,
+    smpl_path: str = "xla",
+    crop_size: int = 224,
+    refine_steps: int = 30,
+    refine_lr: float = 0.02,
+    preprocess_dtype=None,
+    pose_prior=None,
+    lambda_pose_prior: float = 1e-3,
+    lambda_angle_prior: float = 0.0,
+):
+    """Hybrid regression+fitting serving entry, ONE device program.
+
+    The literature-standard hybrid (regress, then SMPLify against detector
+    keypoints) as a single jitted program: preprocess -> encoder/IEF ->
+    `fitting.refine_params` scan -> final SMPL decode. No host round-trips
+    between the regressor and the fit (on tunneled hosts each would cost
+    ~27 ms/dispatch).
+
+    Returns jitted fn(variables, smpl_params, raw_smpl, frame, centers,
+    scales, kp2d, vis) -> MeshRecoveryOutput; kp2d (B, K, 2) observed
+    keypoints in FRAME pixel coords (transformed to crop coords inside the
+    trace), vis (B, K) visibility. `raw_smpl` is the unprepared SMPL dict
+    the differentiable fit runs through (the final decode still uses
+    `smpl_path`'s params, e.g. the Pallas-prepared set).
+    """
+    import jax.numpy as jnp
+
+    from human_3d_reconstruction_tpu.data.preprocess import (
+        preprocess_crops,
+        transform_keypoints,
+    )
+    from human_3d_reconstruction_tpu.fitting import refine_params
+
+    dtype = _preprocess_dtype_for(model, preprocess_dtype)
+
+    def fn(variables, smpl_params, raw_smpl, frame, centers, scales, kp2d, vis):
+        B = centers.shape[0]
+        frames = jnp.broadcast_to(frame[None], (B, *frame.shape))
+        crops = preprocess_crops(
+            frames, centers, scales, out_size=crop_size, dtype=dtype
+        )
+        net = recover_mesh_fn(model, variables, smpl_params, crops, smpl_path=smpl_path)
+        kp_crop = jax.vmap(transform_keypoints)(kp2d, centers, scales)
+        fit = refine_params(
+            raw_smpl, net.theta, net.beta, net.cam, kp_crop, vis,
+            num_steps=refine_steps, lr=refine_lr,
+            pose_prior=pose_prior, lambda_pose_prior=lambda_pose_prior,
+            lambda_angle_prior=lambda_angle_prior,
+        )
+        return decode_params(smpl_params, fit.theta, fit.beta, fit.cam, smpl_path)
+
+    return jax.jit(fn)
+
+
 def make_recover_from_clip(
     model: HMRModel, smpl_path: str = "xla", crop_size: int = 224,
     preprocess_dtype=None,

@@ -61,6 +61,17 @@ def run_person_chunks(boxes: np.ndarray, cap: int, run_chunk):
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
 
+def run_person_chunks_multi(arrays: tuple, cap: int, run_chunk):
+    """run_person_chunks for multiple person-axis inputs (boxes, kp2d, ...)."""
+    n = len(arrays[0])
+    chunks = [
+        run_chunk(*(a[i : i + cap] for a in arrays)) for i in range(0, n, cap)
+    ]
+    if len(chunks) == 1:
+        return chunks[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+
 class MeshRecoverySession:
     """Owns the model + compiled programs; thread-compatible (pure calls)."""
 
@@ -75,6 +86,10 @@ class MeshRecoverySession:
         optimize: bool = True,
         quantize: bool = False,
         mesh=None,
+        pose_prior=None,
+        refine_lr: float = 0.02,
+        lambda_pose_prior: float = 1e-3,
+        lambda_angle_prior: float = 0.0,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the person
         batch is sharded across its devices (weights/SMPL constants
@@ -137,6 +152,16 @@ class MeshRecoverySession:
             self.model, smpl_path=smpl_path, crop_size=crop_size
         )
         self.clip_buckets = (1, 2, 4, 8, 16)
+        # Hybrid regression+fitting (recover(..., kp2d=, refine_steps=N)):
+        # programs built lazily per refine_steps, raw SMPL params on first use.
+        self._smpl_path = smpl_path
+        self._smpl_dict = smpl_model.as_dict()
+        self._raw_smpl = None
+        self._refine_programs: dict[int, object] = {}
+        self.pose_prior = pose_prior
+        self.refine_lr = refine_lr
+        self.lambda_pose_prior = lambda_pose_prior
+        self.lambda_angle_prior = lambda_angle_prior
 
     # -- core ---------------------------------------------------------------
 
@@ -153,6 +178,57 @@ class MeshRecoverySession:
             centers = jax.device_put(centers, self._person_sharding)
             scales = jax.device_put(scales, self._person_sharding)
         out = self._recover(self.variables, self.smpl_params, frame, centers, scales)
+        return jax.tree.map(lambda x: x[:N], out)
+
+    def _refined_chunk(
+        self, frame: jax.Array, boxes: np.ndarray, kp2d: np.ndarray,
+        vis: np.ndarray, refine_steps: int,
+    ) -> MeshRecoveryOutput:
+        if refine_steps not in self._refine_programs:
+            from human_3d_reconstruction_tpu.api import (
+                make_refined_recover_from_single_frame,
+            )
+
+            self._refine_programs[refine_steps] = (
+                make_refined_recover_from_single_frame(
+                    self.model,
+                    smpl_path=self._smpl_path,
+                    crop_size=self.crop_size,
+                    refine_steps=refine_steps,
+                    refine_lr=self.refine_lr,
+                    pose_prior=self.pose_prior,
+                    lambda_pose_prior=self.lambda_pose_prior,
+                    lambda_angle_prior=self.lambda_angle_prior,
+                )
+            )
+        if self._raw_smpl is None:
+            raw = jax.tree.map(jnp.asarray, self._smpl_dict)
+            if self.mesh is not None:
+                from human_3d_reconstruction_tpu.parallel import replicate
+
+                raw = replicate(raw, self.mesh)
+            self._raw_smpl = raw
+        N = len(boxes)
+        padded, _ = pad_people(
+            {
+                "centers": boxes[:, :2],
+                "scales": boxes[:, 2],
+                "kp2d": kp2d,
+                "vis": vis,
+            },
+            N,
+            self.buckets,
+        )
+        args = {k: jnp.asarray(v) for k, v in padded.items()}
+        if self.mesh is not None:
+            frame = jax.device_put(frame, self._replicated)
+            args = {
+                k: jax.device_put(v, self._person_sharding) for k, v in args.items()
+            }
+        out = self._refine_programs[refine_steps](
+            self.variables, self.smpl_params, self._raw_smpl, frame,
+            args["centers"], args["scales"], args["kp2d"], args["vis"],
+        )
         return jax.tree.map(lambda x: x[:N], out)
 
     @staticmethod
@@ -194,19 +270,48 @@ class MeshRecoverySession:
         ]
 
     def recover(
-        self, frame: np.ndarray, boxes, fields=_ALL_FIELDS
+        self, frame: np.ndarray, boxes, fields=_ALL_FIELDS,
+        kp2d=None, vis=None, refine_steps: int = 0,
     ) -> list[PersonResult]:
         """One frame (H, W, 3) [0,255] + boxes (N, 3) [cx, cy, scale].
 
         `fields` selects which outputs are copied to the host (e.g.
         ("theta", "beta", "cam") for a params-only stream); the device
         program is unchanged, only the transfer shrinks.
+
+        `refine_steps > 0` + `kp2d` (N, K, 2) frame-pixel keypoints (e.g.
+        from a 2D detector) runs the hybrid regression+fitting path: the
+        SMPLify-style scan joins the SAME device program (session-level
+        `pose_prior` / `lambda_*` / `refine_lr` set the objective). `vis`
+        (N, K) defaults to all-visible.
         """
         boxes = np.atleast_2d(np.asarray(boxes, np.float32))
         if boxes.size == 0:  # detector found nobody: no work, no program
             return []
         if boxes.ndim != 2 or boxes.shape[-1] != 3:
             raise ValueError(f"boxes must be (N, 3) [cx, cy, scale], got {boxes.shape}")
+        if refine_steps > 0:
+            if kp2d is None:
+                raise ValueError("refine_steps > 0 needs kp2d observations")
+            kp2d = np.asarray(kp2d, np.float32)
+            if kp2d.ndim != 3 or len(kp2d) != len(boxes):
+                raise ValueError(
+                    f"kp2d must be (N, K, 2) matching boxes, got {kp2d.shape}"
+                )
+            vis = (
+                np.ones(kp2d.shape[:2], np.float32)
+                if vis is None
+                else np.asarray(vis, np.float32)
+            )
+            dev_frame = jnp.asarray(self._frame_to_device_dtype(frame))
+            out = run_person_chunks_multi(
+                (boxes, kp2d, vis),
+                self.buckets[-1],
+                lambda b, k, v: self._refined_chunk(
+                    dev_frame, b, k, v, refine_steps
+                ),
+            )
+            return self._to_results(out, boxes, fields)
         return self._to_results(self._run(frame, boxes), boxes, fields)
 
     def recover_batch(

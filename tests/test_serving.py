@@ -90,6 +90,62 @@ class TestServing:
         assert results[0].verts.shape == (6890, 3)
         assert np.all(np.isfinite(results[0].verts))
 
+    def test_hybrid_refinement_fits_observations(self, session, frame):
+        """recover(kp2d=, refine_steps=N): the SMPLify scan inside the
+        serving program pulls the projected keypoints toward the observed
+        ones (a detector stand-in: the session's own prediction shifted by
+        a constant offset, which the free camera translation can absorb)."""
+        from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+
+        box = np.asarray([80.0, 60.0, 90.0], np.float32)
+        base = session.recover(frame, [box])[0]
+        target_crop = base.joints2d[:NUM_KP] + np.asarray([0.08, -0.05], np.float32)
+        kp_frame = box[:2] + target_crop * (box[2] / 2.0)  # invert transform_keypoints
+
+        refined = session.recover(
+            frame, [box], kp2d=kp_frame[None], refine_steps=25
+        )[0]
+        err_base = np.abs(base.joints2d[:NUM_KP] - target_crop).mean()
+        err_refined = np.abs(refined.joints2d[:NUM_KP] - target_crop).mean()
+        assert np.isfinite(refined.verts).all()
+        assert err_refined < 0.25 * err_base
+
+    def test_refinement_requires_kp2d_and_validates_shape(self, session, frame):
+        with pytest.raises(ValueError, match="needs kp2d"):
+            session.recover(frame, [[80.0, 60.0, 90.0]], refine_steps=5)
+        with pytest.raises(ValueError, match="matching boxes"):
+            session.recover(
+                frame, [[80.0, 60.0, 90.0]],
+                kp2d=np.zeros((2, 14, 2), np.float32), refine_steps=5,
+            )
+
+    def test_refinement_bucketed_padding_harmless(self, session, frame):
+        """One person alone vs padded into a 3-person bucket: same refined
+        mesh (padding replicates person 0; programs are bucket-shaped)."""
+        from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+
+        boxes = np.asarray(
+            [[80.0, 60.0, 90.0], [40.0, 30.0, 50.0], [120.0, 90.0, 60.0]],
+            np.float32,
+        )
+        base = session.recover(frame, boxes)
+        # A clear offset target: the L1 keypoint term's subgradient is a
+        # sign — fitting a target at ~zero error would chase the sign of
+        # float noise and diverge between bucket shapes by construction.
+        kp_frame = np.stack(
+            [
+                b.box[:2]
+                + (b.joints2d[:NUM_KP] + np.asarray([0.15, 0.1], np.float32))
+                * (b.box[2] / 2.0)
+                for b in base
+            ]
+        )
+        solo = session.recover(
+            frame, boxes[:1], kp2d=kp_frame[:1], refine_steps=8
+        )[0]
+        trio = session.recover(frame, boxes, kp2d=kp_frame, refine_steps=8)[0]
+        np.testing.assert_allclose(solo.verts, trio.verts, atol=1e-4)
+
     def test_fields_selection_skips_transfer(self, session, frame):
         """fields=(...) fetches only those outputs (verts stays on device)."""
         slim = session.recover(frame, [[80.0, 60.0, 90.0]],
