@@ -107,6 +107,7 @@ def fit_pose_prior(
     num_iters: int = 60,
     reg: float = 1e-4,
     seed: int = 0,
+    max_pool: int = 100_000,
 ) -> PosePrior:
     """Fit a full-covariance GMM to a pose pool by EM.
 
@@ -114,6 +115,10 @@ def fit_pose_prior(
     reg: ridge added to every covariance each M-step — with D=69 and
         K=8 a pool needs N >> K*D samples for unregularized covariances;
         1e-4 rad^2 (~0.6 deg std) is far below real pose variance.
+    max_pool: pools larger than this are deterministically subsampled —
+        the E-step's (N, K, D) responsibility buffer is the memory ceiling
+        (a raw CMU mosh dump is millions of frames; 100k poses already
+        estimate 8 x (69 + 69^2/2) parameters with >25x oversampling).
 
     Deterministic: init means are K distinct pool samples (seeded
     permutation), shared covariance = pool covariance + reg.
@@ -122,6 +127,9 @@ def fit_pose_prior(
     body = poses[:, 3:] if poses.shape[1] == BODY_DIM + 3 else poses
     if body.shape[1] != BODY_DIM:
         raise ValueError(f"expected pose dim 69 or 72, got {poses.shape}")
+    if len(body) > max_pool:
+        keep = np.random.default_rng(seed).permutation(len(body))[:max_pool]
+        body = body[np.sort(keep)]
     N, D = body.shape
     K = num_components
     if N < K:

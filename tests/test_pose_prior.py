@@ -55,6 +55,15 @@ class TestFit:
         ln = np.asarray(prior.log_norm)
         assert abs(ln[0] - ln[1]) < 1.0
 
+    def test_max_pool_subsample_still_recovers(self):
+        pool, a, b = _two_cluster_pool()
+        prior = fit_pose_prior(
+            pool, num_components=2, num_iters=40, reg=1e-4, max_pool=200
+        )
+        means = np.asarray(prior.means)
+        d = np.stack([np.linalg.norm(means - anc, axis=1) for anc in (a, b)])
+        assert d.min(axis=1).max() < 0.08
+
     def test_rejects_bad_dim_and_small_pool(self):
         with pytest.raises(ValueError, match="pose dim"):
             fit_pose_prior(np.zeros((10, 50), np.float32))
