@@ -55,6 +55,12 @@ def main() -> None:
                          "| vit_{ti,s,b}16")
     ap.add_argument("--smpl", choices=["xla", "pallas"], default="pallas")
     ap.add_argument("--no_adversarial", action="store_true")
+    ap.add_argument("--pose_prior", action="store_true",
+                    help="add the GMM pose-prior NLL (fit by EM on the train"
+                         " split's pose pool) to the generator loss — with"
+                         " --no_adversarial this is the discriminator-free"
+                         " training mode (TPU_QUEUE item 8 A/B)")
+    ap.add_argument("--pose_prior_weight", type=float, default=1e-3)
     ap.add_argument("--no_aug", action="store_true")
     ap.add_argument("--rot_mode", choices=["batch", "bucket"], default="batch",
                     help="rotation aug: one shared angle/step (batch) or "
@@ -136,6 +142,23 @@ def main() -> None:
         aug_flip=not args.no_aug,
         hmr=HMRConfig(encoder=args.encoder, encoder_dtype=dtype),
     )
+    pose_prior = None
+    if args.pose_prior:
+        import dataclasses
+
+        from human_3d_reconstruction_tpu.smpl import fit_pose_prior
+
+        t0 = time.perf_counter()
+        pose_prior = fit_pose_prior(train_ds.thetas)  # same pool the D sees
+        config = dataclasses.replace(
+            config,
+            loss_weights=dataclasses.replace(
+                config.loss_weights, pose_prior=args.pose_prior_weight
+            ),
+        )
+        echo(f"pose prior fit on {len(train_ds.thetas)} train poses in "
+             f"{time.perf_counter() - t0:.1f}s "
+             f"(K={pose_prior.means.shape[0]}, w={args.pose_prior_weight})")
     mean = mean_params_from_pool(train_ds.thetas, train_ds.betas)
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
         config, jax.random.key(0), smpl_model.as_dict(), mean_params=mean
@@ -158,7 +181,8 @@ def main() -> None:
         prepared = prepare_fused_smpl(smpl_model.as_dict())
         smpl_apply = lambda _, t, b: smpl_forward_fused(prepared, t, b)
     step_fn = make_jitted_train_step(
-        config, model, disc_mod, g_tx, d_tx, smpl_apply=smpl_apply
+        config, model, disc_mod, g_tx, d_tx, smpl_apply=smpl_apply,
+        pose_prior=pose_prior,
     )
 
     mosh = MoshParamSource(train_ds.thetas, train_ds.betas)  # train split ONLY
@@ -351,6 +375,7 @@ def main() -> None:
         "val_size": args.val_size,
         "aug": not args.no_aug,
         "adversarial": not args.no_adversarial,
+        "pose_prior": args.pose_prior,
         "encoder": args.encoder,
         "encoder_dtype": args.encoder_dtype,
         "log": str(log_path),
