@@ -61,6 +61,12 @@ def main() -> None:
                          " --no_adversarial this is the discriminator-free"
                          " training mode (TPU_QUEUE item 8 A/B)")
     ap.add_argument("--pose_prior_weight", type=float, default=1e-3)
+    ap.add_argument("--kp_head", action="store_true",
+                    help="train the 2D keypoint heatmap head alongside the"
+                         " regressor (models/keypoint_head.py) — enables the"
+                         " self-contained hybrid refinement path"
+                         " (cli.eval --fit_source=self) on the checkpoint")
+    ap.add_argument("--kp_heatmap_weight", type=float, default=100.0)
     ap.add_argument("--no_aug", action="store_true")
     ap.add_argument("--rot_mode", choices=["batch", "bucket"], default="batch",
                     help="rotation aug: one shared angle/step (batch) or "
@@ -140,8 +146,20 @@ def main() -> None:
         aug_rot_mode=args.rot_mode,
         aug_scale_jitter=0.0 if args.no_aug else 0.15,
         aug_flip=not args.no_aug,
-        hmr=HMRConfig(encoder=args.encoder, encoder_dtype=dtype),
+        hmr=HMRConfig(
+            encoder=args.encoder, encoder_dtype=dtype, kp_head=args.kp_head
+        ),
     )
+    if args.kp_head:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            loss_weights=dataclasses.replace(
+                config.loss_weights, kp_heatmap=args.kp_heatmap_weight
+            ),
+        )
+        echo(f"keypoint heatmap head ON (w={args.kp_heatmap_weight})")
     pose_prior = None
     if args.pose_prior:
         import dataclasses
@@ -376,6 +394,7 @@ def main() -> None:
         "aug": not args.no_aug,
         "adversarial": not args.no_adversarial,
         "pose_prior": args.pose_prior,
+        "kp_head": args.kp_head,
         "encoder": args.encoder,
         "encoder_dtype": args.encoder_dtype,
         "log": str(log_path),

@@ -224,6 +224,66 @@ def make_refined_recover_from_single_frame(
     return jax.jit(fn)
 
 
+def make_self_refined_recover_from_single_frame(
+    model: HMRModel,
+    smpl_path: str = "xla",
+    crop_size: int = 224,
+    refine_steps: int = 30,
+    refine_lr: float = 0.02,
+    preprocess_dtype=None,
+    pose_prior=None,
+    lambda_pose_prior: float = 1e-3,
+    lambda_angle_prior: float = 0.0,
+):
+    """Self-contained hybrid serving entry: NO external keypoints needed.
+
+    Same hybrid regression+fitting pipeline as
+    `make_refined_recover_from_single_frame`, but the 2D observations come
+    from the model's OWN heatmap head (config.kp_head=True,
+    models/keypoint_head.py): preprocess -> encoder -> {IEF params,
+    heatmap keypoints} -> SMPLify scan pulling the regressed pose toward
+    the head's keypoints, weighted by their per-joint confidence. One
+    device program; the head's decode is already in crop coords, so no
+    keypoint transform is needed.
+
+    Returns jitted fn(variables, smpl_params, raw_smpl, frame, centers,
+    scales) -> MeshRecoveryOutput.
+    """
+    import jax.numpy as jnp
+
+    from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+    from human_3d_reconstruction_tpu.fitting import refine_params
+
+    if not getattr(model.config, "kp_head", False):
+        raise ValueError(
+            "self-refined recovery needs a model with config.kp_head=True "
+            "(otherwise pass kp2d explicitly via the refined entry)"
+        )
+    dtype = _preprocess_dtype_for(model, preprocess_dtype)
+
+    def fn(variables, smpl_params, raw_smpl, frame, centers, scales):
+        B = centers.shape[0]
+        frames = jnp.broadcast_to(frame[None], (B, *frame.shape))
+        crops = preprocess_crops(
+            frames, centers, scales, out_size=crop_size, dtype=dtype
+        )
+        net: HMROutput = model.apply(variables, crops, train=False)
+        if net.kp2d_det is None:  # trace-time check (e.g. int8 model class)
+            raise ValueError(
+                "model forward returned no detected keypoints — the "
+                "self-refined path needs the standard HMRModel with kp_head"
+            )
+        fit = refine_params(
+            raw_smpl, net.theta, net.beta, net.cam, net.kp2d_det, net.kp_conf,
+            num_steps=refine_steps, lr=refine_lr,
+            pose_prior=pose_prior, lambda_pose_prior=lambda_pose_prior,
+            lambda_angle_prior=lambda_angle_prior,
+        )
+        return decode_params(smpl_params, fit.theta, fit.beta, fit.cam, smpl_path)
+
+    return jax.jit(fn)
+
+
 def make_recover_from_clip(
     model: HMRModel, smpl_path: str = "xla", crop_size: int = 224,
     preprocess_dtype=None,

@@ -45,7 +45,9 @@ def main(argv: list[str]) -> None:
     from human_3d_reconstruction_tpu.cli.common import split_own_args
 
     own, overrides = split_own_args(
-        argv, ("image", "boxes", "out", "checkpoint", "checkpoint_step", "save_meshes")
+        argv,
+        ("image", "boxes", "out", "checkpoint", "checkpoint_step",
+         "save_meshes", "refine_steps"),
     )
     config = load_config(overrides)
 
@@ -100,6 +102,27 @@ def main(argv: list[str]) -> None:
 
     model, variables = apply_serving_rewrite(model, variables)
     smpl_params = smpl_device_params(config, smpl_model)
+    # --refine_steps=N: self-contained hybrid regression+fitting — the
+    # model's own heatmap head (train with --train.hmr.kp_head=true +
+    # loss_weights.kp_heatmap) supplies the 2D observations; no external
+    # detector keypoints needed. One device program either way.
+    refine_steps = int(own.get("refine_steps", "0"))
+    raw_smpl = None
+    if refine_steps > 0:
+        if not getattr(model.config, "kp_head", False):
+            raise SystemExit(
+                "error: --refine_steps needs a keypoint-head model "
+                "(--train.hmr.kp_head=true, matching the checkpoint)"
+            )
+        from human_3d_reconstruction_tpu.api import (
+            make_self_refined_recover_from_single_frame,
+        )
+
+        recover_fit = make_self_refined_recover_from_single_frame(
+            model, smpl_path=config.smpl_path,
+            crop_size=config.data.crop_size, refine_steps=refine_steps,
+        )
+        raw_smpl = jax.tree.map(jnp.asarray, smpl_model.as_dict())
     recover = make_recover_from_single_frame(
         model, smpl_path=config.smpl_path, crop_size=config.data.crop_size
     )
@@ -114,11 +137,19 @@ def main(argv: list[str]) -> None:
     padded, mask = pad_people(
         {"centers": boxes[:, :2], "scales": boxes[:, 2]}, n_valid=N
     )
-    out = recover(
-        # uint8 frames ship as uint8 (cast happens on device in preprocess)
-        variables, smpl_params, jnp.asarray(frame),
-        jnp.asarray(padded["centers"]), jnp.asarray(padded["scales"]),
-    )
+    if refine_steps > 0:
+        out = recover_fit(
+            variables, smpl_params, raw_smpl, jnp.asarray(frame),
+            jnp.asarray(padded["centers"]), jnp.asarray(padded["scales"]),
+        )
+        echo(f"hybrid refinement: {refine_steps} SMPLify steps against the "
+             f"model's own heatmap keypoints")
+    else:
+        out = recover(
+            # uint8 frames ship as uint8 (cast happens on device in preprocess)
+            variables, smpl_params, jnp.asarray(frame),
+            jnp.asarray(padded["centers"]), jnp.asarray(padded["scales"]),
+        )
     out = jax.tree.map(lambda x: x[:N], out)  # drop padded persons
     verts = np.asarray(out.verts)
     echo(

@@ -101,7 +101,8 @@ def main(argv: list[str]) -> None:
         from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
 
         raw_smpl = jax.tree.map(jnp.asarray, smpl_model.as_dict())
-        echo(f"test-time refinement ON: {config.fit_steps} steps/batch")
+        echo(f"test-time refinement ON: {config.fit_steps} steps/batch "
+             f"(keypoint source: {config.fit_source})")
 
         # Optional GMM pose prior in the refinement objective. 'mosh' fits
         # from the configured pool (or the synthetic stand-in) at startup;
@@ -134,6 +135,19 @@ def main(argv: list[str]) -> None:
 
         from functools import partial
 
+        if config.fit_source not in ("gt", "self"):
+            raise SystemExit(
+                f"error: --fit_source must be 'gt' or 'self', got "
+                f"{config.fit_source!r}"
+            )
+        if config.fit_source == "self" and not getattr(
+            model.config, "kp_head", False
+        ):
+            raise SystemExit(
+                "error: --fit_source=self needs a keypoint-head model "
+                "(--train.hmr.kp_head=true, matching the checkpoint)"
+            )
+
         @partial(jax.jit, static_argnames=("fit_steps",))
         def fit_predict(variables, images, centers, scales, kp2d, *, fit_steps):
             crops = preprocess_crops(
@@ -152,7 +166,33 @@ def main(argv: list[str]) -> None:
             refined = smpl_forward(raw_smpl, result.theta, result.beta)
             return refined.eval_joints[:, :NUM_KP]
 
+        @partial(jax.jit, static_argnames=("fit_steps",))
+        def fit_predict_self(variables, images, centers, scales, *, fit_steps):
+            # Self-contained refinement: the model's OWN heatmap-head
+            # detections (confidence-weighted) replace the dataset kp2d —
+            # no GT leakage into the fit, works on unannotated streams.
+            crops = preprocess_crops(
+                images, centers, scales, out_size=config.data.crop_size
+            )
+            net = model.apply(variables, crops, train=False)
+            result = refine_params(
+                raw_smpl, net.theta, net.beta, net.cam,
+                net.kp2d_det, net.kp_conf, num_steps=fit_steps,
+                pose_prior=pose_prior,
+                lambda_pose_prior=config.fit_prior_weight,
+            )
+            refined = smpl_forward(raw_smpl, result.theta, result.beta)
+            return refined.eval_joints[:, :NUM_KP]
+
         def predict_joints(images, centers, scales, batch=None):
+            if config.fit_source == "self":
+                return fit_predict_self(
+                    variables,
+                    jnp.asarray(images),
+                    jnp.asarray(centers),
+                    jnp.asarray(scales),
+                    fit_steps=config.fit_steps,
+                )
             if batch is None or batch.kp2d is None:
                 return run_model(images, centers, scales).eval_joints3d[:, :NUM_KP]
             return fit_predict(

@@ -70,6 +70,11 @@ class RunConfig:
     # the synthetic pool) at startup; else a path to a saved prior npz.
     fit_pose_prior: str = ""
     fit_prior_weight: float = 1e-3
+    # Keypoint source for --fit_steps: 'gt' fits the dataset's 2D keypoints
+    # (external-detector stand-in); 'self' fits the model's OWN heatmap-head
+    # detections (needs train.hmr.kp_head=true) — the self-contained mode,
+    # and the honest one for datasets whose GT kp2d the model never sees.
+    fit_source: str = "gt"
     seed: int = 0
     total_steps: int = 10000
     # Also the async-dispatch sync cadence: each logged step reads metrics

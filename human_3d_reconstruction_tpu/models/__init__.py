@@ -14,6 +14,12 @@ from human_3d_reconstruction_tpu.models.hmr import (
     optimize_for_serving,
 )
 from human_3d_reconstruction_tpu.models.discriminator import SMPLDiscriminator
+from human_3d_reconstruction_tpu.models.keypoint_head import (
+    KeypointHead,
+    gaussian_heatmap_targets,
+    heatmap_loss,
+    soft_argmax,
+)
 from human_3d_reconstruction_tpu.models.vit import ViTConfig, ViTEncoder, VIT_VARIANTS
 
 __all__ = [
@@ -28,5 +34,9 @@ __all__ = [
     "HMRConfig",
     "HMROutput",
     "SMPLDiscriminator",
+    "KeypointHead",
+    "gaussian_heatmap_targets",
+    "heatmap_loss",
+    "soft_argmax",
     "optimize_for_serving",
 ]

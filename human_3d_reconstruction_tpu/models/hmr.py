@@ -35,6 +35,12 @@ class HMRConfig:
     fused_stages: bool = False  # serving: Pallas-fused ResNet stages 1-2
     encoder_remat: bool = False  # training: rematerialize residual blocks
     dropout_rate: float = 0.0
+    # Optional 2D keypoint heatmap head on the encoder's spatial map
+    # (models/keypoint_head.py) — an independent keypoint source for the
+    # hybrid regression+fitting path (no external detector needed). resnet
+    # encoders only; train with loss_weights.kp_heatmap > 0.
+    kp_head: bool = False
+    kp_head_filters: int = 256
 
 
 # (stage sizes, block type): 18/34 are true basic-block nets (512-d pooled
@@ -54,6 +60,10 @@ class HMROutput(NamedTuple):
     cam: jax.Array          # (B, 3) final weak-perspective camera
     all_params: jax.Array   # (T, B, 85) every IEF iteration (training loss)
     features: jax.Array     # (B, D) encoder feature (D=2048 / 512 by depth)
+    # Present only with config.kp_head (None otherwise):
+    heatmaps: Optional[jax.Array] = None   # (B, Hm, Wm, K) raw maps
+    kp2d_det: Optional[jax.Array] = None   # (B, K, 2) decoded, crop [-1, 1]
+    kp_conf: Optional[jax.Array] = None    # (B, K) peak confidence [0, 1]
 
 
 class HMRModel(nn.Module):
@@ -65,6 +75,12 @@ class HMRModel(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> HMROutput:
         cfg = self.config
+        spatial = None
+        if cfg.kp_head and not cfg.encoder.startswith("resnet"):
+            raise ValueError(
+                f"kp_head requires a resnet encoder (spatial feature map), "
+                f"got {cfg.encoder}"
+            )
         if cfg.encoder == "hourglass":
             from human_3d_reconstruction_tpu.models.hourglass import (
                 HourglassConfig,
@@ -93,7 +109,7 @@ class HMRModel(nn.Module):
             )(images, train=train)
         else:
             stages, block = _RESNET_VARIANTS[cfg.encoder]
-            features = ResNet50(
+            encoder = ResNet50(
                 config=ResNetConfig(
                     stage_sizes=stages,
                     block=block,
@@ -103,7 +119,28 @@ class HMRModel(nn.Module):
                     remat=cfg.encoder_remat,
                 ),
                 name="encoder",
-            )(images, train=train)
+            )
+            if cfg.kp_head:
+                features, spatial = encoder(
+                    images, train=train, return_spatial=True
+                )
+            else:
+                features = encoder(images, train=train)
+
+        heatmaps = kp2d_det = kp_conf = None
+        if cfg.kp_head:
+            from human_3d_reconstruction_tpu.models.keypoint_head import (
+                KeypointHead,
+                soft_argmax,
+            )
+
+            heatmaps = KeypointHead(
+                filters=cfg.kp_head_filters,
+                dtype=cfg.encoder_dtype,
+                name="kp_head",
+            )(spatial)
+            kp2d_det, kp_conf = soft_argmax(heatmaps)
+
         all_params = IEFRegressor(
             num_iterations=cfg.num_iterations,
             hidden_size=cfg.hidden_size,
@@ -114,7 +151,9 @@ class HMRModel(nn.Module):
 
         theta, beta, cam = split_params(all_params[-1])
         return HMROutput(
-            theta=theta, beta=beta, cam=cam, all_params=all_params, features=features
+            theta=theta, beta=beta, cam=cam, all_params=all_params,
+            features=features, heatmaps=heatmaps, kp2d_det=kp2d_det,
+            kp_conf=kp_conf,
         )
 
 

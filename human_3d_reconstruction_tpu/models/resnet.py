@@ -146,7 +146,13 @@ class ResNet50(nn.Module):
     config: ResNetConfig = ResNetConfig()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, return_spatial: bool = False
+    ):
+        """`return_spatial=True` additionally returns the pre-pool feature
+        map (B, h, w, C) in compute dtype — consumed by the keypoint
+        heatmap head (models/keypoint_head.py). The pooled feature is
+        bit-identical either way (same reduction, same dtype order)."""
         cfg = self.config
         use_bias = cfg.fold_bn  # folded-BN convs carry the bias
         conv = partial(nn.Conv, use_bias=use_bias, dtype=cfg.dtype, param_dtype=jnp.float32)
@@ -199,8 +205,12 @@ class ResNet50(nn.Module):
                     name=f"stage{i + 1}_block{j + 1}",
                 )(x)
 
+        spatial = x
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, feature_dim)
-        return x.astype(jnp.float32)  # feature handoff to the head is f32
+        pooled = x.astype(jnp.float32)  # feature handoff to the head is f32
+        if return_spatial:
+            return pooled, spatial
+        return pooled
 
 
 # ---------------------------------------------------------------------------

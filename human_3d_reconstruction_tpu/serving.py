@@ -231,6 +231,53 @@ class MeshRecoverySession:
         )
         return jax.tree.map(lambda x: x[:N], out)
 
+    def _self_refined_chunk(
+        self, frame: jax.Array, boxes: np.ndarray, refine_steps: int
+    ) -> MeshRecoveryOutput:
+        """Hybrid refinement with NO external keypoints: the model's own
+        heatmap head (config.kp_head) supplies confidence-weighted 2D
+        observations inside the same device program."""
+        key = ("self", refine_steps)
+        if key not in self._refine_programs:
+            from human_3d_reconstruction_tpu.api import (
+                make_self_refined_recover_from_single_frame,
+            )
+
+            self._refine_programs[key] = (
+                make_self_refined_recover_from_single_frame(
+                    self.model,
+                    smpl_path=self._smpl_path,
+                    crop_size=self.crop_size,
+                    refine_steps=refine_steps,
+                    refine_lr=self.refine_lr,
+                    pose_prior=self.pose_prior,
+                    lambda_pose_prior=self.lambda_pose_prior,
+                    lambda_angle_prior=self.lambda_angle_prior,
+                )
+            )
+        if self._raw_smpl is None:
+            raw = jax.tree.map(jnp.asarray, self._smpl_dict)
+            if self.mesh is not None:
+                from human_3d_reconstruction_tpu.parallel import replicate
+
+                raw = replicate(raw, self.mesh)
+            self._raw_smpl = raw
+        N = len(boxes)
+        padded, _ = pad_people(
+            {"centers": boxes[:, :2], "scales": boxes[:, 2]}, N, self.buckets
+        )
+        centers = jnp.asarray(padded["centers"])
+        scales = jnp.asarray(padded["scales"])
+        if self.mesh is not None:
+            frame = jax.device_put(frame, self._replicated)
+            centers = jax.device_put(centers, self._person_sharding)
+            scales = jax.device_put(scales, self._person_sharding)
+        out = self._refine_programs[key](
+            self.variables, self.smpl_params, self._raw_smpl, frame,
+            centers, scales,
+        )
+        return jax.tree.map(lambda x: x[:N], out)
+
     @staticmethod
     def _frame_to_device_dtype(frame: np.ndarray) -> np.ndarray:
         """uint8 frames ship as uint8 (4x less H2D traffic — the dominant
@@ -283,7 +330,10 @@ class MeshRecoverySession:
         from a 2D detector) runs the hybrid regression+fitting path: the
         SMPLify-style scan joins the SAME device program (session-level
         `pose_prior` / `lambda_*` / `refine_lr` set the objective). `vis`
-        (N, K) defaults to all-visible.
+        (N, K) defaults to all-visible. With a kp_head model
+        (HMRConfig.kp_head=True), `kp2d` may be omitted: the model's own
+        heatmap head supplies confidence-weighted observations — fully
+        self-contained refinement.
         """
         boxes = np.atleast_2d(np.asarray(boxes, np.float32))
         if boxes.size == 0:  # detector found nobody: no work, no program
@@ -292,7 +342,19 @@ class MeshRecoverySession:
             raise ValueError(f"boxes must be (N, 3) [cx, cy, scale], got {boxes.shape}")
         if refine_steps > 0:
             if kp2d is None:
-                raise ValueError("refine_steps > 0 needs kp2d observations")
+                if not getattr(self.model.config, "kp_head", False):
+                    raise ValueError(
+                        "refine_steps > 0 needs kp2d observations (or a "
+                        "model trained with HMRConfig.kp_head=True, whose "
+                        "heatmap head supplies them)"
+                    )
+                dev_frame = jnp.asarray(self._frame_to_device_dtype(frame))
+                out = run_person_chunks(
+                    boxes,
+                    self.buckets[-1],
+                    lambda b: self._self_refined_chunk(dev_frame, b, refine_steps),
+                )
+                return self._to_results(out, boxes, fields)
             kp2d = np.asarray(kp2d, np.float32)
             if kp2d.ndim != 3 or len(kp2d) != len(boxes):
                 raise ValueError(

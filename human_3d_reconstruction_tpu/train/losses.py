@@ -37,6 +37,10 @@ class LossWeights:
     # active when make_train_step receives a pose_prior. The
     # likelihood-based alternative to the adversarial prior.
     pose_prior: float = 0.0
+    # 2D keypoint heatmap MSE (models/keypoint_head.py); active when the
+    # model config has kp_head=True. Gaussian-map MSE values are ~1e-2
+    # scale, so weights around 100 put it on par with the other terms.
+    kp_heatmap: float = 0.0
 
 
 def _masked_mean(err: jax.Array, mask: jax.Array) -> jax.Array:

@@ -346,6 +346,17 @@ def make_train_step(
                 l_prior = jnp.mean(pose_nll(pose_prior, last_theta))
                 total = total + w.pose_prior * l_prior
                 metrics["loss_pose_prior"] = l_prior
+            if w.kp_heatmap > 0 and out.heatmaps is not None:
+                # Heatmap supervision shares the AUGMENTED kp2d/vis the
+                # reprojection loss uses, so the head and the regressor
+                # see one consistent geometry under flip/rot/scale aug.
+                from human_3d_reconstruction_tpu.models.keypoint_head import (
+                    heatmap_loss,
+                )
+
+                l_hm = heatmap_loss(out.heatmaps, kp2d, vis)
+                total = total + w.kp_heatmap * l_hm
+                metrics["loss_kp_hm"] = l_hm
 
             metrics["loss_g"] = total
             new_bs = mutated.get("batch_stats", {})

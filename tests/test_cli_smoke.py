@@ -97,6 +97,43 @@ class TestCLISmoke:
         assert blob["num_persons"] >= 1
         assert (tmp_path / "ov.png").exists()
 
+    def test_demo_cli_self_refine(self, tmp_path):
+        """--refine_steps with a kp_head model: hybrid regression+fitting
+        against the model's OWN heatmap keypoints, zero side inputs."""
+        (tmp_path / "boxes.json").write_text("[[100,100,80]]")
+        r = run_cli(
+            "demo",
+            [
+                "single_image",
+                f"--boxes={tmp_path}/boxes.json",
+                f"--out={tmp_path}/ov.png",
+                "--data.crop_size=48",
+                "--train.hmr.kp_head=true",
+                "--refine_steps=2",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "hybrid refinement" in r.stderr
+        blob = json.loads(r.stdout)
+        assert blob["num_persons"] == 1
+        assert (tmp_path / "ov.png").exists()
+
+    def test_demo_cli_refine_needs_kp_head(self, tmp_path):
+        (tmp_path / "boxes.json").write_text("[[100,100,80]]")
+        r = run_cli(
+            "demo",
+            [
+                "single_image",
+                f"--boxes={tmp_path}/boxes.json",
+                "--data.crop_size=48",
+                "--refine_steps=2",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode != 0
+        assert "kp_head" in r.stderr
+
     def test_eval_cli_synthetic(self, tmp_path):
         r = run_cli(
             "eval",
@@ -128,6 +165,36 @@ class TestCLISmoke:
         blob = json.loads(r.stdout)
         assert "mpjpe_mm" in blob and np.isfinite(blob["mpjpe_mm"])
         assert "refinement ON" in r.stderr
+
+    def test_eval_cli_with_fit_source_self(self, tmp_path):
+        """--fit_source=self: refinement against the model's own heatmap
+        detections (no GT keypoints enter the fit)."""
+        r = run_cli(
+            "eval",
+            [
+                "h36m_eval",
+                "--fit_steps=2",
+                "--fit_source=self",
+                "--train.hmr.kp_head=true",
+                f"--eval.report_path={tmp_path}/rep.json",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert "mpjpe_mm" in blob and np.isfinite(blob["mpjpe_mm"])
+        assert "keypoint source: self" in r.stderr
+
+    def test_eval_cli_fit_source_self_needs_kp_head(self, tmp_path):
+        r = run_cli(
+            "eval",
+            ["h36m_eval", "--fit_steps=2", "--fit_source=self",
+             "--data.crop_size=48"],
+            cwd=tmp_path,
+        )
+        assert r.returncode != 0
+        assert "kp_head" in r.stderr
 
     def test_eval_cli_with_fit_pose_prior(self, tmp_path):
         """--fit_pose_prior=mosh: GMM prior fit at startup, used in the
