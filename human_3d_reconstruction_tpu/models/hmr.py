@@ -37,10 +37,14 @@ class HMRConfig:
     dropout_rate: float = 0.0
     # Optional 2D keypoint heatmap head on the encoder's spatial map
     # (models/keypoint_head.py) — an independent keypoint source for the
-    # hybrid regression+fitting path (no external detector needed). resnet
-    # encoders only; train with loss_weights.kp_heatmap > 0.
+    # hybrid regression+fitting path (no external detector needed). Works
+    # with every encoder family; train with loss_weights.kp_heatmap > 0.
     kp_head: bool = False
     kp_head_filters: int = 256
+    # Deconv count for the head. None = auto: pick so heatmaps land at
+    # stride 4 of the crop for every encoder — resnet spatial is stride 32
+    # (3 deconvs), ViT/16 stride 16 (2), hourglass already stride 4 (0).
+    kp_head_deconvs: Optional[int] = None
 
 
 # (stage sizes, block type): 18/34 are true basic-block nets (512-d pooled
@@ -76,37 +80,49 @@ class HMRModel(nn.Module):
     def __call__(self, images: jnp.ndarray, train: bool = False) -> HMROutput:
         cfg = self.config
         spatial = None
-        if cfg.kp_head and not cfg.encoder.startswith("resnet"):
-            raise ValueError(
-                f"kp_head requires a resnet encoder (spatial feature map), "
-                f"got {cfg.encoder}"
-            )
+        # Auto deconv depth: encoder spatial stride / 4 (heatmaps at
+        # stride 4 for every family — see HMRConfig.kp_head_deconvs).
+        kp_deconvs = cfg.kp_head_deconvs
         if cfg.encoder == "hourglass":
             from human_3d_reconstruction_tpu.models.hourglass import (
                 HourglassConfig,
                 HourglassEncoder,
             )
 
-            features = HourglassEncoder(
+            encoder = HourglassEncoder(
                 config=HourglassConfig(
                     dtype=cfg.encoder_dtype, remat=cfg.encoder_remat
                 ),
                 name="encoder",
-            )(images, train=train)
+            )
+            if cfg.kp_head:
+                features, spatial = encoder(
+                    images, train=train, return_spatial=True
+                )
+                kp_deconvs = 0 if kp_deconvs is None else kp_deconvs
+            else:
+                features = encoder(images, train=train)
         elif cfg.encoder.startswith("vit"):
             from human_3d_reconstruction_tpu.models.vit import (
                 VIT_VARIANTS,
                 ViTEncoder,
             )
 
-            features = ViTEncoder(
+            encoder = ViTEncoder(
                 config=dataclasses.replace(
                     VIT_VARIANTS[cfg.encoder],
                     dtype=cfg.encoder_dtype,
                     remat=cfg.encoder_remat,
                 ),
                 name="encoder",
-            )(images, train=train)
+            )
+            if cfg.kp_head:
+                features, spatial = encoder(
+                    images, train=train, return_spatial=True
+                )
+                kp_deconvs = 2 if kp_deconvs is None else kp_deconvs
+            else:
+                features = encoder(images, train=train)
         else:
             stages, block = _RESNET_VARIANTS[cfg.encoder]
             encoder = ResNet50(
@@ -124,6 +140,7 @@ class HMRModel(nn.Module):
                 features, spatial = encoder(
                     images, train=train, return_spatial=True
                 )
+                kp_deconvs = 3 if kp_deconvs is None else kp_deconvs
             else:
                 features = encoder(images, train=train)
 
@@ -136,6 +153,7 @@ class HMRModel(nn.Module):
 
             heatmaps = KeypointHead(
                 filters=cfg.kp_head_filters,
+                num_deconv=kp_deconvs,
                 dtype=cfg.encoder_dtype,
                 name="kp_head",
             )(spatial)

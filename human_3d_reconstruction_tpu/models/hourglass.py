@@ -82,7 +82,12 @@ class HourglassEncoder(nn.Module):
     config: HourglassConfig = HourglassConfig()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, return_spatial: bool = False
+    ):
+        """`return_spatial=True` additionally returns the pre-pool map
+        (B, H/4, W/4, 2048) — already heatmap-resolution (the hourglass IS
+        a heatmap topology), so the keypoint head needs zero deconvs."""
         cfg = self.config
         conv = partial(nn.Conv, use_bias=False, dtype=cfg.dtype, param_dtype=jnp.float32)
         norm = partial(
@@ -109,5 +114,9 @@ class HourglassEncoder(nn.Module):
 
         x = conv(2048, (1, 1), name="head_conv")(x)
         x = nn.relu(norm(name="head_bn")(x))
+        spatial = x
         x = jnp.mean(x, axis=(1, 2))
-        return x.astype(jnp.float32)
+        pooled = x.astype(jnp.float32)
+        if return_spatial:
+            return pooled, spatial
+        return pooled

@@ -127,7 +127,16 @@ class ViTEncoder(nn.Module):
     config: ViTConfig = ViTConfig()
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        train: bool = False,
+        return_spatial: bool = False,
+    ):
+        """`return_spatial=True` additionally returns the patch tokens as a
+        (B, H/p, W/p, width) grid (cls token excluded, post-final-LN, in
+        compute dtype) — the keypoint heatmap head's input. The pooled
+        feature is identical either way."""
         cfg = self.config
         B, H, W, C = images.shape
         p = cfg.patch_size
@@ -182,4 +191,9 @@ class ViTEncoder(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
         pooled = x[:, 0] if cfg.pool == "cls" else jnp.mean(x, axis=1)
         # The IEF regressor runs f32 (parameter space feeds mm-scale joints).
-        return pooled.astype(jnp.float32)
+        pooled = pooled.astype(jnp.float32)
+        if return_spatial:
+            patches = x[:, 1:] if cfg.pool == "cls" else x
+            grid = patches.reshape(B, H // p, W // p, cfg.width)
+            return pooled, grid.astype(cfg.dtype)
+        return pooled

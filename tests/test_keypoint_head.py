@@ -122,11 +122,31 @@ class TestHMRWiring:
         np.testing.assert_array_equal(np.asarray(out.theta), np.asarray(out2.theta))
         assert out2.heatmaps is None and out2.kp2d_det is None
 
-    def test_non_resnet_encoder_rejected(self):
-        model = HMRModel(config=HMRConfig(encoder="vit_ti16", kp_head=True))
-        imgs = jnp.zeros((1, 64, 64, 3))
-        with pytest.raises(ValueError, match="kp_head requires a resnet"):
-            model.init(jax.random.key(0), imgs)
+    def test_vit_encoder_head(self):
+        """ViT: the patch-token grid feeds the head (auto 2 deconvs ->
+        stride-4 maps, matching the resnet head resolution)."""
+        model = HMRModel(config=HMRConfig(encoder="vit_ti16", kp_head=True,
+                                          kp_head_filters=32))
+        imgs = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 64, 64, 3)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), imgs)
+        out = model.apply(variables, imgs, train=False)
+        # 64px crop, patch 16 -> 4x4 tokens -> 2 deconvs -> 16x16 (stride 4).
+        assert out.heatmaps.shape == (2, 16, 16, NUM_KP)
+        assert out.kp2d_det.shape == (2, NUM_KP, 2)
+
+    def test_hourglass_encoder_head(self):
+        """Hourglass: the pre-pool map is already stride 4 — zero deconvs."""
+        model = HMRModel(config=HMRConfig(encoder="hourglass", kp_head=True,
+                                          kp_head_filters=32))
+        imgs = jnp.asarray(
+            np.random.default_rng(4).normal(size=(1, 64, 64, 3)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), imgs)
+        out = model.apply(variables, imgs, train=False)
+        assert out.heatmaps.shape == (1, 16, 16, NUM_KP)
+        assert out.kp_conf.shape == (1, NUM_KP)
 
 
 class TestTraining:
