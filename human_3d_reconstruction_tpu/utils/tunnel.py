@@ -37,7 +37,24 @@ RELAY_HOST = "127.0.0.1"
 
 
 def is_tunneled_platform(environ=os.environ) -> bool:
-    """True when this process will init JAX against the axon relay."""
+    """True when this process will init JAX against the axon relay.
+
+    An in-process `jax.config.update('jax_platforms', 'cpu')` overrides the
+    environment (that's how CPU work runs on this image, where sitecustomize
+    pins JAX_PLATFORMS=axon) — so when jax is already imported, its config
+    value is the truth, and the env var is only the fallback. A caller
+    injecting a custom `environ` (tests) opts out of the config check.
+    """
+    import sys
+
+    jax = sys.modules.get("jax") if environ is os.environ else None
+    if jax is not None:
+        try:
+            configured = jax.config.jax_platforms
+        except AttributeError:
+            configured = None
+        if configured:  # explicit override (env-seeded or config.update)
+            return "axon" in configured.lower()
     return "axon" in environ.get("JAX_PLATFORMS", "").lower()
 
 

@@ -70,3 +70,19 @@ class TestTunnelGuard:
             assert check_tpu_tunnel(deadline_s=10.0, ports=(port,), environ=env)
         finally:
             srv.close()
+
+    def test_in_process_cpu_config_overrides_env(self):
+        """jax.config.update('jax_platforms','cpu') (the suite's own state)
+        must make the guard a no-op even when the real environment still
+        says axon — that's exactly how CPU smoke of tpu_checks runs on this
+        image (utils/tunnel.py is_tunneled_platform's config-first rule)."""
+        import os
+
+        from human_3d_reconstruction_tpu.utils.tunnel import is_tunneled_platform
+
+        assert os.environ.get("JAX_PLATFORMS", "axon") == "axon"
+        # conftest set jax_platforms=cpu in-process: not tunneled.
+        assert not is_tunneled_platform()
+        # An injected environ opts out of the config check (the tests above
+        # rely on that to simulate a tunneled process).
+        assert is_tunneled_platform({"JAX_PLATFORMS": "axon"})

@@ -19,20 +19,42 @@ Checks:
                            (pytest covers it CPU-only)
   9. pose-aug invariance — rotated GT theta decodes to rotated joints
                            through the compiled SMPL forward (r3 aug fix)
+ 10. ViT encoder         — vit_ti16 HMR forward compiled on chip; bf16
+                           encoder vs f32, same weights, param-level gap
+ 11. self-refined hybrid — kp_head model + SMPLify scan in ONE program:
+                           the fit must not worsen the residual against
+                           the head's own detections (r4 hybrid serving)
+ 12. GMM pose prior      — EM fit COMPILED on chip; in-pool poses must
+                           score lower NLL than far-out-of-pool poses
+ 13. person proposal +   — shaded two-body scene rendered by the mesh
+     body renderer         protocol renderer (viz/body_render.py), then
+                           propose_person_boxes recovers both boxes
 
-Run:  timeout 900 python tpu_checks.py      (keep the CLAUDE.md tunnel rules:
+Run:  timeout 1800 python tpu_checks.py     (keep the CLAUDE.md tunnel rules:
 one TPU process at a time, prefer timeout over hard kills)
+
+HMR_TPU_CHECKS_ONLY="12,13" runs a subset (comma-separated check numbers) —
+for re-running one failed check without paying the whole lane, and for
+CPU smoke of individual checks (jax_platforms=cpu skips the tunnel guard).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+
+def _want(n: int) -> bool:
+    only = os.environ.get("HMR_TPU_CHECKS_ONLY", "")
+    if not only:
+        return True
+    return n in {int(tok) for tok in only.split(",") if tok.strip()}
 
 
 def main() -> None:
@@ -69,6 +91,12 @@ def main() -> None:
     B = 32
     pose = jnp.asarray(rng.normal(0, 0.4, (B, 72)).astype(np.float32))
     betas = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+
+    legacy = any(_want(i) for i in range(1, 10))
+    if not legacy:
+        _new_checks(results, smpl_model, raw, rng)
+        _finish(results)
+        return
 
     # 1/2: Pallas vs XLA twin, compiled, values AND grads.
     fused = jax.jit(lambda p, b: smpl_forward_fused(prepared, p, b).verts)
@@ -244,6 +272,143 @@ def main() -> None:
     )
     results["pose_aug_invariance_m"] = float(np.abs(jr - expect).max())
 
+    _new_checks(results, smpl_model, raw, rng)
+    _finish(results)
+
+
+def _new_checks(results: dict, smpl_model, raw, rng) -> None:
+    """Round-4 feature checks (10–13): compiled-on-chip certification of the
+    ViT family, the self-contained hybrid refinement, the GMM pose prior's
+    EM fit, and the person proposer driven by the mesh-protocol renderer."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from human_3d_reconstruction_tpu.models import HMRConfig, HMRModel
+
+    # 10: ViT encoder family compiled on chip; bf16 vs f32 param gap.
+    if _want(10):
+        imgs = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+        vit_f32 = HMRModel(config=HMRConfig(encoder="vit_ti16", hidden_size=128))
+        vit_bf16 = HMRModel(
+            config=HMRConfig(
+                encoder="vit_ti16", hidden_size=128, encoder_dtype=jnp.bfloat16
+            )
+        )
+        vvars = vit_f32.init(jax.random.key(2), imgs)
+        p_f32 = np.asarray(
+            jax.jit(lambda v, x: vit_f32.apply(v, x).all_params)(vvars, imgs)
+        )
+        p_bf16 = np.asarray(
+            jax.jit(lambda v, x: vit_bf16.apply(v, x).all_params)(vvars, imgs)
+        )
+        results["vit_bf16_vs_f32_params"] = float(np.abs(p_f32 - p_bf16).max())
+
+    # 11: self-contained hybrid refinement in one device program — the
+    # SMPLify scan against the model's OWN heatmap detections must not
+    # worsen the confidence-weighted keypoint residual vs plain regression.
+    if _want(11):
+        from human_3d_reconstruction_tpu.api import (
+            make_recover_from_single_frame,
+            make_self_refined_recover_from_single_frame,
+        )
+        from human_3d_reconstruction_tpu.data.preprocess import preprocess_crops
+
+        crop = 64
+        cfg_kp = HMRConfig(encoder="resnet18", hidden_size=128, kp_head=True)
+        model_kp = HMRModel(config=cfg_kp)
+        kvars = model_kp.init(jax.random.key(3), jnp.zeros((1, crop, crop, 3)))
+        frame = jnp.asarray(
+            rng.uniform(0, 255, (128, 128, 3)).astype(np.float32)
+        )
+        centers = jnp.asarray([[64.0, 64.0]])
+        scales = jnp.asarray([100.0])
+
+        @jax.jit
+        def detections(v, f, c, s):
+            crops = preprocess_crops(
+                jnp.broadcast_to(f[None], (1, *f.shape)), c, s, out_size=crop
+            )
+            out = model_kp.apply(v, crops, train=False)
+            return out.kp2d_det, out.kp_conf
+
+        det, conf = detections(kvars, frame, centers, scales)
+
+        def residual(out) -> float:
+            # joints2d carries the 19 eval keypoints; the head detects the
+            # LSP-14 subset (its first 14 rows — data/skeleton.py).
+            pred = out.joints2d[:, : det.shape[1]]
+            return float(jnp.sum(jnp.asarray(conf)[..., None] * jnp.abs(pred - det)))
+
+        plain = make_recover_from_single_frame(model_kp, smpl_path="xla", crop_size=crop)
+        base = plain(kvars, raw, frame, centers, scales)
+        refined_fn = make_self_refined_recover_from_single_frame(
+            model_kp, smpl_path="xla", crop_size=crop, refine_steps=8
+        )
+        ref = refined_fn(kvars, raw, raw, frame, centers, scales)
+        results["hybrid_residual_delta"] = residual(ref) - residual(base)
+
+    # 12: GMM pose prior — EM fit runs compiled on this backend; in-pool
+    # poses must be far more likely than far-out-of-pool poses.
+    if _want(12):
+        from human_3d_reconstruction_tpu.smpl.pose_prior import (
+            fit_pose_prior,
+            pose_nll,
+        )
+
+        pool = rng.normal(0, 0.3, (512, 72)).astype(np.float32)
+        prior = fit_pose_prior(pool, num_components=4, num_iters=15)
+        nll_in = float(jnp.mean(pose_nll(prior, jnp.asarray(pool[:64]))))
+        nll_out = float(
+            jnp.mean(pose_nll(prior, jnp.asarray(pool[:64] + 3.0)))
+        )
+        results["pose_prior_in_minus_out_nll"] = nll_in - nll_out
+
+    # 13: mesh-protocol body renderer + person proposal, end to end on this
+    # backend: render two shaded bodies at known boxes, recover both.
+    if _want(13):
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+        from human_3d_reconstruction_tpu.utils.person_proposal import (
+            propose_person_boxes_np,
+        )
+        from human_3d_reconstruction_tpu.viz.body_render import (
+            body_vertex_colors,
+            local_surface_faces,
+            make_frame_renderer,
+        )
+
+        truth = [(64.0, 96.0, 90.0), (192.0, 96.0, 90.0)]
+        v = np.asarray(smpl_model.as_dict()["v_template"])
+        render = make_frame_renderer(
+            local_surface_faces(v), body_vertex_colors(v), (192, 256),
+            chunk_frames=2,
+        )
+        thetas = rng.normal(scale=0.3, size=(2, 72)).astype(np.float32)
+        bet = rng.normal(scale=0.8, size=(2, 10)).astype(np.float32)
+        out = jax.jit(lambda p, b: smpl_forward(raw, p, b))(thetas, bet)
+        mu = np.asarray(out.eval_joints[:, :14]).mean(axis=1, keepdims=True)
+        verts_c = np.asarray(out.verts) - mu
+        centers2 = np.asarray([[c[0], c[1]] for c in truth], np.float32)
+        scales2 = np.asarray([c[2] for c in truth], np.float32)
+        keys = np.full((2,), 7, np.uint32)  # same key -> same background
+        frames = render(verts_c, centers2, scales2, keys)
+        solo_bg = render(
+            verts_c[1:] + np.asarray([10.0, 0, 0], np.float32),
+            centers2[1:], scales2[1:], keys[1:],
+        )[0]
+        base = frames[0].copy()
+        mask = (frames[1] != solo_bg).any(axis=-1)
+        base[mask] = frames[1][mask]
+        boxes = propose_person_boxes_np(base, max_people=4)
+        results["proposal_center_err_frac"] = float(
+            max(
+                np.linalg.norm(boxes[:, :2] - [cx, cy], axis=1).min() / s
+                for cx, cy, s in truth
+            )
+        )
+
+
+def _finish(results: dict) -> None:
     # Bars.
     bars = {
         "pallas_vs_xla_fwd_m": 2e-5,
@@ -266,9 +431,20 @@ def main() -> None:
         "export_vs_bf16_mpjpe_mm": 1.0,
         "tiled_raster_gap": 1e-6,      # exact (conservative binning)
         "pose_aug_invariance_m": 1e-5,  # measured 1.8e-7 on chip
+        # 10: bf16 encoder vs f32, random weights — same spirit (and bar
+        # family) as serving_rewrite_gap's bf16 reduction-reorder bound.
+        "vit_bf16_vs_f32_params": 0.15,
+        # 11: the fit optimizes exactly this residual (plus small priors);
+        # 8 steps must not make it worse. Measured on CPU: clearly negative.
+        "hybrid_residual_delta": 1e-4,
+        # 12: in-pool poses must beat 3-rad-off poses by >= 1 nat (measured
+        # margin is hundreds of nats; the bar only guards sign flips).
+        "pose_prior_in_minus_out_nll": -1.0,
+        # 13: every true body must have a proposal within half its scale.
+        "proposal_center_err_frac": 0.5,
     }
     for key, bar in bars.items():
-        if results[key] > bar:
+        if key in results and results[key] > bar:
             results["ok"] = False
             results[f"FAIL_{key}"] = f"{results[key]} > {bar}"
 
