@@ -1,0 +1,209 @@
+"""Unattended executor for benchmarks/TPU_QUEUE.md.
+
+The round-3 relay death taught two lessons: (1) the tunnel can come back at
+an arbitrary moment (only the harness can restore it), and (2) every minute
+of chip time matters because the queue's flagship item is a 4-6 h training
+run. This runner makes the reaction latency zero: a watcher (or a human)
+starts it the moment the relay answers, and it executes the staged queue
+strictly serially — one TPU process at a time, every item under `timeout`
+(never hard-killed; see the tunnel-kill hazard in CLAUDE.md), artifacts and
+a resumable state file under benchmarks/results/queue_r4/.
+
+Order = value-per-minute under an unknown time budget: the cheap
+certification items first (checks, bench, cliff experiment, ViT numbers
+— all <~30 min together), then the long checkpoint-re-earn run, then the
+optional studies. A relay that lives only an hour still yields a green
+check lane + headline bench; one that lives a day yields everything.
+
+Usage:
+    python benchmarks/run_tpu_queue.py            # run from where it left off
+    python benchmarks/run_tpu_queue.py --only checks,bench
+    python benchmarks/run_tpu_queue.py --skip gen_mesh
+    python benchmarks/run_tpu_queue.py --list
+
+Each item's stdout/stderr land in benchmarks/results/queue_r4/<name>.{out,err};
+state in .../state.json ({"done": [...], "failed": [...]}); completed items
+are skipped on re-run (--force reruns everything). The runner itself never
+imports jax — it only probes the relay socket and shells out, so it cannot
+wedge the tunnel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "benchmarks" / "results" / "queue_r4"
+STATE = OUT / "state.json"
+PY = sys.executable
+
+GEN_COMMON = [
+    "--train_size", "8192", "--val_size", "512", "--batch", "64",
+    "--cosine", "--echo", "4", "--patience", "99",
+]
+
+# (name, timeout_s, argv, required) — `required=True` items abort the queue
+# on failure (they certify the chip works; later hours-long items would
+# waste the window), `False` items log and continue.
+ITEMS: list[tuple[str, int, list[str], bool]] = [
+    ("checks", 1800, [PY, str(REPO / "tpu_checks.py")], True),
+    ("bench", 900, [PY, str(REPO / "bench.py")], True),
+    (
+        "serving_cliff", 1800,
+        [PY, str(REPO / "benchmarks" / "bench_serving_cliff.py")], False,
+    ),
+    (
+        "vit_train", 1800,
+        [PY, str(REPO / "benchmarks" / "bench_train.py"),
+         "--batches", "128", "--encoder", "vit_s16"], False,
+    ),
+    # The flagship: re-earn the r3e 40k checkpoint as a restorable artifact
+    # (VERDICT r4 #3). Checkpoints + best-val are written DURING the run.
+    (
+        "gen_40k", 21600,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
+         "--save_checkpoint", "--export_val",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_ckpt")], False,
+    ),
+    (
+        "gen_40k_eval", 3600,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r4_ckpt" / "ckpt"),
+         "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r4_ckpt" / "val" / "index.npz"),
+         "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "trained_eval_report_r4.json")],
+        False,
+    ),
+    (
+        "gen_40k_demo", 1800,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.demo", "single_image",
+         "--image=" + str(REPO / "benchmarks" / "results" / "gen_r4_ckpt" / "val" / "images" / "val_00000.png"),
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r4_ckpt" / "ckpt"),
+         "--out=" + str(REPO / "benchmarks" / "results" / "demo_overlay_r4.png")],
+        False,
+    ),
+    # Keypoint-head training + self-refine delta (queue item 9, 8k steps).
+    (
+        "gen_kp_8k", 7200,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--kp_head",
+         "--save_checkpoint", "--export_val",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_kp")], False,
+    ),
+    # Discriminator-free A/B (queue item 8): prior arm only — the 8k
+    # adversarial trajectory is already on disk from the r3 runs and the
+    # gen_40k log covers the same recipe's early steps.
+    (
+        "gen_prior_8k", 7200,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--no_adversarial", "--pose_prior",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_prior")], False,
+    ),
+    # Hardened mesh-protocol run (queue item 5) — last: same wall cost as
+    # gen_40k and the DELTA-vs-blobs story needs the blob run first anyway.
+    (
+        "gen_mesh_40k", 21600,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
+         "--protocol", "mesh", "--save_checkpoint", "--export_val",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_mesh")], False,
+    ),
+]
+
+
+def relay_alive(timeout_s: float = 5.0) -> bool:
+    for port in (8082, 8083, 8087):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=timeout_s):
+                return True
+        except OSError:
+            continue
+    return False
+
+
+def load_state() -> dict:
+    if STATE.exists():
+        return json.loads(STATE.read_text())
+    return {"done": [], "failed": []}
+
+
+def save_state(state: dict) -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    tmp = STATE.with_suffix(".tmp")
+    tmp.write_text(json.dumps(state, indent=2))
+    tmp.replace(STATE)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="comma-separated item names")
+    ap.add_argument("--skip", default="", help="comma-separated item names")
+    ap.add_argument("--force", action="store_true", help="rerun done items")
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    if args.list:
+        for name, t, argv, req in ITEMS:
+            print(f"{name:14s} timeout={t:>6d}s required={req} :: {' '.join(argv[1:3])}...")
+        return
+
+    only = {s for s in args.only.split(",") if s}
+    skip = {s for s in args.skip.split(",") if s}
+    state = load_state()
+    OUT.mkdir(parents=True, exist_ok=True)
+
+    if not relay_alive():
+        print("relay dead — nothing to do", file=sys.stderr)
+        sys.exit(3)
+
+    for name, timeout_s, argv, required in ITEMS:
+        if only and name not in only:
+            continue
+        if name in skip:
+            continue
+        if name in state["done"] and not args.force:
+            print(f"[queue] {name}: already done, skipping", file=sys.stderr)
+            continue
+        if not relay_alive():
+            print(f"[queue] relay died before {name}; stopping", file=sys.stderr)
+            sys.exit(3)
+        out_f = OUT / f"{name}.out"
+        err_f = OUT / f"{name}.err"
+        print(f"[queue] {name}: starting (timeout {timeout_s}s)", file=sys.stderr)
+        t0 = time.time()
+        with out_f.open("w") as fo, err_f.open("w") as fe:
+            # `timeout` (SIGTERM, then the shell default escalation is NOT
+            # used — no --kill-after) so the process can exit cleanly and
+            # never leaves the tunnel with in-flight transfers + SIGKILL,
+            # the round-3 relay-death pattern.
+            proc = subprocess.run(
+                ["timeout", str(timeout_s), *argv],
+                cwd=REPO, stdout=fo, stderr=fe,
+            )
+        dt = time.time() - t0
+        if proc.returncode == 0:
+            state["done"].append(name)
+            print(f"[queue] {name}: OK in {dt / 60:.1f} min", file=sys.stderr)
+        else:
+            state["failed"].append({"name": name, "rc": proc.returncode, "minutes": round(dt / 60, 1)})
+            print(
+                f"[queue] {name}: FAILED rc={proc.returncode} after {dt / 60:.1f} min "
+                f"(see {err_f})", file=sys.stderr,
+            )
+            if required:
+                save_state(state)
+                sys.exit(1)
+        save_state(state)
+
+    print("[queue] complete", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
