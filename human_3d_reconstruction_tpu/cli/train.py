@@ -132,8 +132,11 @@ def main(argv: list[str]) -> None:
 
         pose_prior = resolve_pose_prior(config.pose_prior, mosh)
         if config.pose_prior == "mosh":
-            from pathlib import Path
-
+            # NOTE: no local `from pathlib import Path` here — a function-
+            # local import would shadow the module-level one and leave
+            # `Path` unbound at the best-val record below for every run
+            # that does NOT take this branch (caught by the in-loop
+            # validation CLI smoke tests).
             Path(config.checkpoint_dir).mkdir(parents=True, exist_ok=True)
             save_pose_prior(
                 str(Path(config.checkpoint_dir) / "pose_prior.npz"), pose_prior

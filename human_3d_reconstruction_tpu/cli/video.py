@@ -22,6 +22,14 @@ boxes come from the on-device person proposal (utils/person_proposal.py),
 falling back to a full-frame
 box when nothing is salient. Without --frames/--video a synthetic
 moving-noise clip is generated (no sample data ships in this environment).
+
+--clip_refine_steps=N adds an offline temporal-bundle pass after the
+streaming loop (fitting.refine_clip_params): each tracked person's whole
+(theta, beta, cam) stream is re-optimized in ONE jitted scan with shared
+shape + velocity/acceleration priors, overlays re-rendered from the
+refined params, and the accel-error delta reported. This is the
+optimization-based smoother (VIBE/SmoothNet-style) next to the causal
+One-Euro filter the loop streams through.
 """
 
 from __future__ import annotations
@@ -98,7 +106,7 @@ def main(argv: list[str]) -> None:
     own, overrides = split_own_args(
         argv,
         ("frames", "video", "boxes", "out", "checkpoint", "checkpoint_step",
-         "fps", "synthetic_frames", "max_frames"),
+         "fps", "synthetic_frames", "max_frames", "clip_refine_steps"),
         flags=("no_track", "no_smooth"),
     )
     config = load_config(overrides)
@@ -170,6 +178,11 @@ def main(argv: list[str]) -> None:
     max_frames = int(own.get("max_frames", 10**9))
     n_frames = 0
     faces = np.asarray(smpl_model.faces)
+    clip_refine_steps = int(own.get("clip_refine_steps", 0))
+    # Per-frame raw streams for the optional temporal-bundle pass (person
+    # identity = tracked slot index, stable because slots follow their own
+    # propagated boxes).
+    stream: list[dict] = []
 
     for idx, frame in _iter_frames(own):
         if idx >= max_frames:
@@ -249,6 +262,15 @@ def main(argv: list[str]) -> None:
                 )
                 + "\n"
             )
+        if clip_refine_steps > 0:
+            stream.append(
+                {
+                    "boxes": boxes.copy(),
+                    "theta": np.stack([np.asarray(r.theta) for r in results]),
+                    "beta": np.stack([np.asarray(r.beta) for r in results]),
+                    "cam": np.stack([np.asarray(r.cam) for r in results]),
+                }
+            )
         n_frames += 1
 
         # Track: next frame's crops follow this frame's recovered keypoints
@@ -267,6 +289,93 @@ def main(argv: list[str]) -> None:
             echo(f"frame {idx}: {N} person(s), box0 scale {boxes[0, 2]:.0f}")
 
     echo(f"wrote {n_frames} overlay frames + {log_path}")
+
+    accel_delta = None
+    if clip_refine_steps > 0 and n_frames >= 3:
+        from human_3d_reconstruction_tpu.data.skeleton import NUM_KP
+        from human_3d_reconstruction_tpu.eval.metrics import accel_error_mm
+        from human_3d_reconstruction_tpu.fitting import refine_clip_params
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+
+        raw_smpl = {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()}
+        n_slots = min(len(s["theta"]) for s in stream)
+        refined: list[dict] = []  # per slot: theta/beta/cam (F, ...)
+        fit_jit = jax.jit(
+            partial(refine_clip_params, num_steps=clip_refine_steps)
+        )
+        joints_jit = jax.jit(
+            lambda t, b: smpl_forward(raw_smpl, t, b).eval_joints[:, :NUM_KP]
+        )
+        for slot in range(n_slots):
+            th = jnp.asarray(np.stack([s["theta"][slot] for s in stream]))
+            be = jnp.asarray(np.stack([s["beta"][slot] for s in stream]))
+            cm = jnp.asarray(np.stack([s["cam"][slot] for s in stream]))
+            fit = fit_jit(raw_smpl, th, be, cm)
+            a0 = float(accel_error_mm(joints_jit(th, be)))
+            a1 = float(accel_error_mm(joints_jit(fit.theta, fit.beta)))
+            refined.append(
+                {"theta": np.asarray(fit.theta), "beta": np.asarray(fit.beta),
+                 "cam": np.asarray(fit.cam), "accel_before": a0, "accel_after": a1}
+            )
+            echo(
+                f"clip refine slot {slot}: accel {a0:.2f} -> {a1:.2f} mm/frame^2 "
+                f"({clip_refine_steps} steps)"
+            )
+        accel_delta = [
+            {"slot": i, "accel_before_mm": r["accel_before"],
+             "accel_after_mm": r["accel_after"]}
+            for i, r in enumerate(refined)
+        ]
+
+        # Re-render overlays + re-log params from the refined streams.
+        refined_log = out_dir / "params_refined.jsonl"
+        refined_log.write_text("")
+        for idx, frame in _iter_frames(own):
+            if idx >= n_frames:
+                break
+            fb = stream[idx]["boxes"]
+            dec = decode_smoothed(
+                [refined[s]["theta"][idx] for s in range(n_slots)],
+                [refined[s]["beta"][idx] for s in range(n_slots)],
+                [refined[s]["cam"][idx] for s in range(n_slots)],
+            )
+            overlay = overlay_meshes(
+                frame,
+                [dec.verts[s] for s in range(n_slots)],
+                faces,
+                cams=[dec.cam[s] for s in range(n_slots)],
+                centers=[fb[s, :2] for s in range(n_slots)],
+                scales=[float(fb[s, 2]) for s in range(n_slots)],
+            )
+            for s in range(n_slots):
+                overlay = draw_keypoints(
+                    overlay,
+                    crop_coords_to_pixels(
+                        dec.joints2d[s][:14], fb[s, :2], float(fb[s, 2])
+                    ),
+                )
+            import cv2
+
+            cv2.imwrite(
+                str(out_dir / f"frame_{idx:05d}.png"),
+                cv2.cvtColor(
+                    overlay.clip(0, 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+                ),
+            )
+            with open(refined_log, "a") as log:
+                log.write(
+                    json.dumps(
+                        {
+                            "frame": idx,
+                            "theta": [refined[s]["theta"][idx].tolist() for s in range(n_slots)],
+                            "beta": [refined[s]["beta"][idx].tolist() for s in range(n_slots)],
+                            "cam": [refined[s]["cam"][idx].tolist() for s in range(n_slots)],
+                        }
+                    )
+                    + "\n"
+                )
+        echo(f"re-rendered {n_frames} overlays from the refined streams")
+
     print(
         json.dumps(
             {
@@ -276,6 +385,7 @@ def main(argv: list[str]) -> None:
                 "params": str(log_path),
                 "smoothed": smooth,
                 "tracked": track,
+                "clip_refined": accel_delta,
             }
         )
     )

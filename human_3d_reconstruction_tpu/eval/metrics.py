@@ -179,3 +179,34 @@ def auc3d(
     return jnp.mean(
         (errors_mm[..., None] < ts).astype(jnp.float32)
     )
+
+
+def accel_error_mm(
+    pred: jax.Array, gt: Optional[jax.Array] = None, align_pelvis: bool = True
+) -> jax.Array:
+    """Acceleration error over a joint sequence — the video-HMR smoothness
+    metric (mm/frame^2, the convention of the VIBE/"3D poses in the wild"
+    line of work the reference family's video successors report).
+
+    pred: (F, J, 3) joint sequence in METERS (frames first).
+    gt:   optional (F, J, 3) ground truth; with gt the metric is
+          mean_t,j ||a_pred - a_gt||, without it mean_t,j ||a_pred||
+          (absolute jerkiness), where a = x_{t+1} - 2 x_t + x_{t-1}.
+    align_pelvis: root each frame at the hip midpoint first (the same
+          rooting the MPJPE protocol uses), so global box jitter from the
+          crop tracker doesn't read as body acceleration.
+
+    Returns a scalar; needs F >= 3 (fewer frames have no second
+    difference — callers guard). jit/vmap-safe.
+    """
+    p = jnp.asarray(pred, jnp.float32)
+    if align_pelvis:
+        p = pelvis_align(p)
+    acc_p = p[2:] - 2.0 * p[1:-1] + p[:-2]  # (F-2, J, 3)
+    if gt is None:
+        return jnp.mean(jnp.linalg.norm(acc_p, axis=-1)) * 1000.0
+    g = jnp.asarray(gt, jnp.float32)
+    if align_pelvis:
+        g = pelvis_align(g)
+    acc_g = g[2:] - 2.0 * g[1:-1] + g[:-2]
+    return jnp.mean(jnp.linalg.norm(acc_p - acc_g, axis=-1)) * 1000.0

@@ -206,3 +206,152 @@ def refine_params(
         cam=params["cam"] if fit_cam else cam0,
         loss_history=losses,
     )
+
+
+def refine_clip_params(
+    smpl_params: dict,
+    theta: jax.Array,
+    beta: jax.Array,
+    cam: jax.Array,
+    kp2d: Optional[jax.Array] = None,
+    vis: Optional[jax.Array] = None,
+    num_steps: int = 30,
+    lr: float = 0.02,
+    lambda_kp: float = 1.0,
+    lambda_data: float = 0.1,
+    lambda_prior_beta: float = 0.01,
+    lambda_vel: float = 2.0,
+    lambda_accel: float = 200.0,
+    lambda_cam_vel: float = 0.5,
+    shared_beta: bool = True,
+    pose_prior=None,
+    lambda_pose_prior: float = 1e-3,
+    parents: Optional[list[int]] = None,
+) -> FitResult:
+    """Temporal bundle refinement of one tracked person's clip stream.
+
+    The video line of the HMR family smooths per-frame regressions with a
+    causal filter (utils/smoothing.py One-Euro — what cli.video streams
+    through). This is the OPTIMIZATION-based alternative (VIBE/SmoothNet-
+    style offline smoothing, done as SMPLify over the whole window): all F
+    frames enter ONE jitted lax.scan as a batch, and the objective couples
+    them with
+
+      lambda_data  * ||theta_t - theta_t^init||^2 (+ cam and beta data
+                     terms; the beta anchor matters because adam's
+                     scale-free steps would otherwise walk the shape
+                     toward the zero-prior on negligible gradients)
+      lambda_vel   * mean_t ||theta_t - theta_{t-1}||^2
+      lambda_accel * mean_t ||j3d_{t+1} - 2 j3d_t + j3d_{t-1}||^2
+                     (second difference of MODEL-SPACE eval joints, meters
+                     — penalizing exactly what the accel-error metric in
+                     eval/metrics.py::accel_error_mm measures)
+      lambda_prior_beta * ||beta_shared||^2
+      [+ lambda_kp * L1 reprojection when kp2d observations are given]
+      [+ lambda_pose_prior * GMM NLL (smpl/pose_prior.py)]
+
+    Unlike frame-wise filtering this (a) estimates ONE shape for the whole
+    clip (`shared_beta`; a person's beta does not change frame to frame —
+    per-frame regression noise on beta becomes jitter in limb lengths that
+    no pose filter can remove), and (b) smooths in model space through the
+    SMPL decode, so the result stays on the body manifold instead of being
+    a per-channel signal filter.
+
+    Args:
+        theta/beta/cam: (F, 72)/(F, 10)/(F, 3) per-frame regressions of ONE
+            tracked person (callers loop or vmap persons).
+        kp2d/vis: optional (F, 14, 2)/(F, 14) observations in normalized
+            crop coords (e.g. a kp_head model's detections); None = pure
+            temporal smoothing anchored to the regression by the data term.
+        shared_beta: optimize one (10,) shape broadcast to all frames
+            (returned tiled to (F, 10)); False keeps per-frame betas free.
+
+    Returns FitResult with (F, ...) arrays; jit-safe (static num_steps).
+    """
+    theta0 = jnp.asarray(theta, jnp.float32)
+    cam0 = jnp.asarray(cam, jnp.float32)
+    beta0_frames = jnp.asarray(beta, jnp.float32)
+    F = theta0.shape[0]
+    beta_init = (
+        jnp.mean(beta0_frames, axis=0) if shared_beta else beta0_frames
+    )
+    if kp2d is not None:
+        kp2d = jnp.asarray(kp2d, jnp.float32)
+        kmask = (jnp.asarray(vis, jnp.float32) > 0).astype(jnp.float32)
+
+    def objective(params):
+        th, be, cm = params["theta"], params["beta"], params["cam"]
+        be_frames = jnp.broadcast_to(be, (F, be.shape[-1])) if shared_beta else be
+        out = smpl_forward(smpl_params, th, be_frames, parents=parents)
+        j3d = out.eval_joints[:, :NUM_KP]  # (F, 14, 3) model space
+
+        l_data = (
+            jnp.mean(jnp.sum((th - theta0) ** 2, axis=-1))
+            + jnp.mean(jnp.sum((cm - cam0) ** 2, axis=-1))
+            # Anchor shape to the per-frame regressions: in shared mode the
+            # minimizer of sum_t ||b - beta0_t||^2 is their mean — the best
+            # shape estimate absent image evidence.
+            + jnp.mean(jnp.sum((be_frames - beta0_frames) ** 2, axis=-1))
+        )
+        l_vel = jnp.mean(jnp.sum((th[1:] - th[:-1]) ** 2, axis=-1))
+        acc = j3d[2:] - 2.0 * j3d[1:-1] + j3d[:-2]
+        l_accel = jnp.mean(jnp.sum(acc**2, axis=(-2, -1)))
+        l_cam = jnp.mean(jnp.sum((cm[1:] - cm[:-1]) ** 2, axis=-1))
+        l_beta = jnp.mean(jnp.sum(jnp.atleast_2d(be) ** 2, axis=-1))
+        total = (
+            lambda_data * l_data
+            + lambda_vel * l_vel
+            + lambda_accel * l_accel
+            + lambda_cam_vel * l_cam
+            + lambda_prior_beta * l_beta
+        )
+        if kp2d is not None:
+            pred2d = orthographic_project(j3d, cm)
+            err = jnp.sum(jnp.abs(pred2d - kp2d), axis=-1)  # (F, 14)
+            total = total + lambda_kp * jnp.sum(err * kmask) / jnp.maximum(
+                jnp.sum(kmask), 1.0
+            )
+        if pose_prior is not None:
+            from human_3d_reconstruction_tpu.smpl.pose_prior import pose_nll
+
+            total = total + lambda_pose_prior * jnp.mean(pose_nll(pose_prior, th))
+        return total
+
+    tx = optax.adam(lr)
+    params = {"theta": theta0, "beta": beta_init, "cam": cam0}
+    opt_state = tx.init(params)
+
+    # Best-objective-so-far (including the INIT): adam's first steps move
+    # every coordinate by ~lr regardless of gradient size (m-hat/sqrt(v-hat)
+    # = +-1), so a short run on an already-smooth stream injects a transient
+    # it never re-converges from. Returning the best visited iterate makes
+    # the refinement no-worse-than-input by construction — on a stream with
+    # nothing to fix it returns (almost exactly) the input.
+    def step(carry, _):
+        params, opt_state, best_loss, best_params = carry
+        loss, grads = jax.value_and_grad(objective)(params)
+        better = loss < best_loss
+        best_loss = jnp.where(better, loss, best_loss)
+        best_params = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), params, best_params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, best_loss, best_params), loss
+
+    last, losses = jax.lax.scan(
+        step, (params, opt_state, jnp.inf, params), None, length=num_steps
+    )
+    params_final, _, best_loss, params = last
+    # The post-update final iterate can beat every pre-update one.
+    final_better = objective(params_final) < best_loss
+    params = jax.tree.map(
+        lambda new, old: jnp.where(final_better, new, old), params_final, params
+    )
+    be = params["beta"]
+    return FitResult(
+        theta=params["theta"],
+        beta=jnp.broadcast_to(be, (F, be.shape[-1])) if shared_beta else be,
+        cam=params["cam"],
+        loss_history=losses,
+    )

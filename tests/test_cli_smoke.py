@@ -278,6 +278,38 @@ class TestCLISmoke:
         # tracking moved the box off the initial full-frame default
         assert rows[0]["boxes"] != rows[-1]["boxes"]
 
+    def test_video_cli_clip_refine(self, tmp_path):
+        """--clip_refine_steps: temporal-bundle pass re-renders overlays and
+        reports per-slot accel before/after (never catastrophically worse —
+        the fit returns its best-objective iterate, including the init)."""
+        r = run_cli(
+            "video",
+            [
+                "--synthetic_frames=4",
+                f"--out={tmp_path}/vout",
+                "--clip_refine_steps=4",
+                "--data.crop_size=48",
+                "--train.hmr.encoder=resnet18",
+                "--train.hmr.hidden_size=64",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert blob["num_frames"] == 4
+        delta = blob["clip_refined"]
+        assert delta and {"accel_before_mm", "accel_after_mm"} <= set(delta[0])
+        assert delta[0]["accel_after_mm"] <= delta[0]["accel_before_mm"] * 1.25
+        refined = [
+            json.loads(line)
+            for line in (tmp_path / "vout" / "params_refined.jsonl")
+            .read_text()
+            .splitlines()
+        ]
+        assert len(refined) == 4
+        assert np.isfinite(np.asarray(refined[-1]["theta"])).all()
+        assert (tmp_path / "vout" / "frame_00003.png").exists()
+
     def test_export_cli_roundtrip(self, tmp_path):
         """Export CLI -> artifact dir -> ExportedRecoverySession serves it."""
         r = run_cli(

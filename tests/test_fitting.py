@@ -134,3 +134,118 @@ class TestMaskSupervision:
         err1 = float(jnp.abs(result.cam[0, 1] - cam_gt[0, 1]))
         assert err1 < err0 * 0.5, (err0, err1)
         assert float(result.loss_history[-1]) < float(result.loss_history[0])
+
+
+class TestClipRefinement:
+    """Temporal bundle refinement (fitting.refine_clip_params)."""
+
+    @pytest.fixture(scope="class")
+    def clip_problem(self, smpl_model):
+        """A smooth GT trajectory + per-frame jittered regressions of it."""
+        rng = np.random.default_rng(11)
+        F = 12
+        params = {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()}
+        # Smooth trajectory: linear interpolation between two poses.
+        t0 = rng.normal(0, 0.3, (72,)).astype(np.float32)
+        t1 = t0 + rng.normal(0, 0.25, (72,)).astype(np.float32)
+        w = np.linspace(0.0, 1.0, F, dtype=np.float32)[:, None]
+        theta_gt = jnp.asarray((1 - w) * t0 + w * t1)
+        beta_gt = jnp.asarray(
+            np.tile(rng.normal(0, 0.5, (1, 10)).astype(np.float32), (F, 1))
+        )
+        cam = jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (F, 1))
+        # Per-frame regression noise (what frame-wise HMR produces).
+        theta_noisy = theta_gt + jnp.asarray(
+            rng.normal(0, 0.06, (F, 72)).astype(np.float32)
+        )
+        beta_noisy = beta_gt + jnp.asarray(
+            rng.normal(0, 0.3, (F, 10)).astype(np.float32)
+        )
+        return params, theta_gt, beta_gt, cam, theta_noisy, beta_noisy
+
+    @staticmethod
+    def _joints(params, theta, beta):
+        from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+
+        return smpl_forward(params, theta, beta).eval_joints[:, :NUM_KP]
+
+    def test_pure_temporal_fit_reduces_accel_error(self, clip_problem):
+        from human_3d_reconstruction_tpu.eval.metrics import accel_error_mm
+        from human_3d_reconstruction_tpu.fitting import refine_clip_params
+
+        params, theta_gt, beta_gt, cam, theta_noisy, beta_noisy = clip_problem
+        j_gt = self._joints(params, theta_gt, beta_gt)
+        before = float(
+            accel_error_mm(self._joints(params, theta_noisy, beta_noisy), j_gt)
+        )
+        fit = refine_clip_params(
+            params, theta_noisy, beta_noisy, cam, num_steps=40
+        )
+        after = float(accel_error_mm(self._joints(params, fit.theta, fit.beta), j_gt))
+        assert after < before * 0.5, (before, after)
+        # ...and the fit must not drift away from the GT trajectory: the
+        # positional error stays no worse than the noisy input's.
+        err_before = float(
+            jnp.mean(
+                jnp.linalg.norm(
+                    self._joints(params, theta_noisy, beta_noisy) - j_gt, axis=-1
+                )
+            )
+        )
+        err_after = float(
+            jnp.mean(
+                jnp.linalg.norm(
+                    self._joints(params, fit.theta, fit.beta) - j_gt, axis=-1
+                )
+            )
+        )
+        assert err_after < err_before * 1.1, (err_before, err_after)
+
+    def test_shared_beta_recovers_constant_shape(self, clip_problem):
+        from human_3d_reconstruction_tpu.fitting import refine_clip_params
+
+        params, theta_gt, beta_gt, cam, theta_noisy, beta_noisy = clip_problem
+        fit = refine_clip_params(
+            params, theta_noisy, beta_noisy, cam, num_steps=40
+        )
+        # One shape for the whole clip, closer to the true (constant) beta
+        # than the per-frame average deviation of the noisy stream.
+        assert np.ptp(np.asarray(fit.beta), axis=0).max() < 1e-6
+        err_noisy = float(jnp.mean(jnp.abs(beta_noisy - beta_gt)))
+        err_fit = float(jnp.mean(jnp.abs(fit.beta - beta_gt)))
+        assert err_fit < err_noisy, (err_noisy, err_fit)
+
+    def test_kp_anchored_fit_reduces_reprojection(self, clip_problem):
+        from human_3d_reconstruction_tpu.fitting import refine_clip_params
+        from human_3d_reconstruction_tpu.utils.geometry import (
+            orthographic_project,
+        )
+
+        params, theta_gt, beta_gt, cam, theta_noisy, beta_noisy = clip_problem
+        kp2d = orthographic_project(self._joints(params, theta_gt, beta_gt), cam)
+        vis = jnp.ones(kp2d.shape[:2])
+
+        def reproj(theta, beta, cm):
+            pred = orthographic_project(self._joints(params, theta, beta), cm)
+            return float(jnp.mean(jnp.abs(pred - kp2d)))
+
+        before = reproj(theta_noisy, beta_noisy, cam)
+        fit = refine_clip_params(
+            params, theta_noisy, beta_noisy, cam, kp2d=kp2d, vis=vis,
+            num_steps=60,
+        )
+        after = reproj(fit.theta, fit.beta, fit.cam)
+        assert after < before * 0.6, (before, after)
+
+    def test_jit_wrappable(self, clip_problem):
+        import jax
+
+        from human_3d_reconstruction_tpu.fitting import refine_clip_params
+
+        params, _, _, cam, theta_noisy, beta_noisy = clip_problem
+        fn = jax.jit(
+            lambda t, b, c: refine_clip_params(params, t, b, c, num_steps=3)
+        )
+        out = fn(theta_noisy, beta_noisy, cam)
+        assert out.theta.shape == theta_noisy.shape
+        assert np.isfinite(np.asarray(out.loss_history)).all()

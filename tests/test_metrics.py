@@ -176,3 +176,41 @@ class Test3DHPProtocolMetrics:
         errs = joint_errors_mm(pelvis_align(pred), pelvis_align(j), root_index=None)
         np.testing.assert_allclose(np.asarray(errs[:, 0]), 10.0, atol=1e-3)
         np.testing.assert_allclose(np.asarray(errs[:, 1:]), 0.0, atol=1e-3)
+
+
+class TestAccelError:
+    """accel_error_mm — the video-HMR smoothness metric."""
+
+    def test_constant_velocity_has_zero_accel(self):
+        from human_3d_reconstruction_tpu.eval.metrics import accel_error_mm
+
+        F, J = 8, 14
+        v = np.random.default_rng(0).normal(0, 0.01, (1, J, 3)).astype(np.float32)
+        seq = np.cumsum(np.tile(v, (F, 1, 1)), axis=0)  # linear motion
+        assert float(accel_error_mm(jnp.asarray(seq), align_pelvis=False)) < 1e-3
+
+    def test_known_second_difference(self):
+        from human_3d_reconstruction_tpu.eval.metrics import accel_error_mm
+
+        # One joint accelerating along x by exactly a per frame^2:
+        # x_t = 0.5 * a * t^2 -> second difference = a everywhere.
+        a = 0.004  # meters/frame^2
+        t = np.arange(6, dtype=np.float32)
+        seq = np.zeros((6, 2, 3), np.float32)
+        seq[:, 0, 0] = 0.5 * a * t**2
+        got = float(accel_error_mm(jnp.asarray(seq), align_pelvis=False))
+        # mean over joints: joint 0 has ||a||, joint 1 zero.
+        np.testing.assert_allclose(got, a * 1000.0 / 2.0, rtol=1e-4)
+
+    def test_gt_relative_and_pelvis_alignment(self):
+        from human_3d_reconstruction_tpu.eval.metrics import accel_error_mm
+
+        rng = np.random.default_rng(1)
+        seq = rng.normal(0, 0.05, (10, 14, 3)).astype(np.float32)
+        # Identical sequences -> zero error regardless of jitter.
+        assert float(accel_error_mm(seq, seq)) < 1e-5
+        # A global (whole-body) jitter disappears under pelvis alignment
+        # but registers without it.
+        jitter = rng.normal(0, 0.02, (10, 1, 3)).astype(np.float32)
+        assert float(accel_error_mm(seq + jitter, seq, align_pelvis=True)) < 1e-3
+        assert float(accel_error_mm(seq + jitter, seq, align_pelvis=False)) > 1.0
