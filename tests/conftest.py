@@ -41,6 +41,15 @@ def smpl_model():
     return synthetic_smpl_model(seed=0)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh deterministic generator PER TEST.
+
+    This was session-scoped — one mutable stream shared by ~130 tests —
+    which made every consumer's inputs depend on how many earlier tests
+    drew from it: adding an unrelated test shifted the stream and flipped
+    a near-tolerance comparison (r4: test_fitting_mask_raster_tiled, two
+    fp-identical-objective optimizer trajectories diverging). Function
+    scope makes each test's inputs a pure function of its own code.
+    """
     return np.random.default_rng(1234)

@@ -22,8 +22,12 @@ from human_3d_reconstruction_tpu.models.resnet import (
 
 
 @pytest.fixture(scope="module")
-def images(rng):
-    # Realistic normalized-crop statistics (roughly [-2.5, 2.5]).
+def images():
+    # Realistic normalized-crop statistics (roughly [-2.5, 2.5]). Local
+    # generator: the function-scoped `rng` fixture can't feed a
+    # module-scoped fixture, and module fixtures shouldn't consume shared
+    # stream state anyway.
+    rng = np.random.default_rng(24)
     return jnp.asarray(rng.normal(scale=1.0, size=(2, 64, 64, 3)).astype(np.float32))
 
 

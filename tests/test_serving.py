@@ -21,8 +21,12 @@ def session(smpl_model):
 
 
 @pytest.fixture(scope="module")
-def frame(rng):
-    return rng.uniform(0, 255, (120, 160, 3)).astype(np.float32)
+def frame():
+    # Local generator: module-scoped, so it can't consume the
+    # function-scoped `rng` fixture (and shouldn't share stream state).
+    return (
+        np.random.default_rng(23).uniform(0, 255, (120, 160, 3)).astype(np.float32)
+    )
 
 
 class TestServing:
