@@ -278,6 +278,30 @@ def main() -> None:
 
     train_eval_n = min(args.val_size, args.train_size)
 
+    # Checkpointing DURING the run (VERDICT r4 #3): the r3 40k run saved
+    # only at the end and its 59.6 mm artifact died with the relay. Now the
+    # mean seed lands on disk before step 0, the latest state saves at
+    # every eval point (max_to_keep=3), and the best-val state keeps its
+    # own single-slot manager at <out>/ckpt/best — any interruption leaves
+    # a scoreable checkpoint behind.
+    mgr = best_mgr = None
+    if args.save_checkpoint:
+        from human_3d_reconstruction_tpu.smpl.mean_params import (
+            mean_params_file,
+            save_mean_params,
+        )
+        from human_3d_reconstruction_tpu.train.trainer import (
+            make_checkpoint_manager,
+            save_checkpoint,
+        )
+
+        ckpt_dir = out_dir / "ckpt"
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        mgr = make_checkpoint_manager(str(ckpt_dir))
+        best_mgr = make_checkpoint_manager(str(ckpt_dir / "best"), max_to_keep=1)
+        save_mean_params(mean_params_file(ckpt_dir), mean)
+        echo(f"checkpointing every eval to {ckpt_dir} (best at {ckpt_dir}/best)")
+
     best = float("inf")
     best_step = 0
     since_best = 0
@@ -324,30 +348,26 @@ def main() -> None:
             t_train = time.perf_counter()
             imgs_done = 0
 
+            if mgr is not None:
+                save_checkpoint(mgr, step, gen, disc)
             if val_mpjpe < best - 0.5:
                 best, best_step, since_best = val_mpjpe, step, 0
+                if best_mgr is not None:
+                    save_checkpoint(best_mgr, step, gen, disc)
             else:
                 since_best += 1
                 if since_best >= args.patience:
                     echo(f"plateau: no val improvement for {since_best} evals")
                     break
 
-    if args.save_checkpoint:
-        from human_3d_reconstruction_tpu.smpl.mean_params import (
-            mean_params_file,
-            save_mean_params,
-        )
-        from human_3d_reconstruction_tpu.train.trainer import (
-            make_checkpoint_manager,
-            save_checkpoint,
-        )
-
-        ckpt_dir = out_dir / "ckpt"
-        mgr = make_checkpoint_manager(str(ckpt_dir))
-        save_checkpoint(mgr, step, gen, disc)
+    if mgr is not None:
+        # Final state (idempotent when the loop just saved this step).
+        if step not in (mgr.all_steps() or []):
+            save_checkpoint(mgr, step, gen, disc)
         mgr.wait_until_finished()
-        save_mean_params(mean_params_file(ckpt_dir), mean)
-        echo(f"checkpoint + mean seed saved to {ckpt_dir}")
+        best_mgr.wait_until_finished()
+        echo(f"checkpoints + mean seed saved under {out_dir / 'ckpt'} "
+             f"(best step {best_step}: {best:.1f} mm)")
 
     if args.export_val:
         # h36m-style index: scatter the LSP-14 annotations into the 17-slot
