@@ -35,6 +35,11 @@ class MeshRecoveryOutput(NamedTuple):
     joints3d: jax.Array   # (B, 24, 3) skeleton joints
     eval_joints3d: jax.Array  # (B, K, 3) regressed eval keypoints
     joints2d: jax.Array   # (B, K, 2) projected keypoints (crop coords, [-1,1])
+    # Heatmap-head detections — present only for kp_head models (None
+    # otherwise). Unlike joints2d (the SMPL reprojection) these are an
+    # INDEPENDENT observation of the image, usable as fitting anchors.
+    kp2d_det: jax.Array | None = None  # (B, 14, 2) crop coords [-1, 1]
+    kp_conf: jax.Array | None = None   # (B, 14) peak confidence [0, 1]
 
 
 def decode_params(
@@ -78,7 +83,11 @@ def recover_mesh_fn(
         net_out: HMROutput = hmr_forward_fused(model, variables, images)
     else:
         net_out = model.apply(variables, images, train=False)
-    return decode_params(smpl_params, net_out.theta, net_out.beta, net_out.cam, smpl_path)
+    out = decode_params(smpl_params, net_out.theta, net_out.beta, net_out.cam, smpl_path)
+    det = getattr(net_out, "kp2d_det", None)
+    if det is not None:  # kp_head models also surface their detections
+        out = out._replace(kp2d_det=det, kp_conf=net_out.kp_conf)
+    return out
 
 
 def make_recover_mesh(model: HMRModel, smpl_path: str = "xla"):

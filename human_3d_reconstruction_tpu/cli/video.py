@@ -29,7 +29,10 @@ streaming loop (fitting.refine_clip_params): each tracked person's whole
 shape + velocity/acceleration priors, overlays re-rendered from the
 refined params, and the accel-error delta reported. This is the
 optimization-based smoother (VIBE/SmoothNet-style) next to the causal
-One-Euro filter the loop streams through.
+One-Euro filter the loop streams through. With a kp_head model,
+--clip_refine_kp additionally anchors the bundle to the heatmap head's
+per-frame detections (confidence-weighted) — the temporal hybrid: fit
+toward independent image evidence, not just smoothness.
 """
 
 from __future__ import annotations
@@ -107,7 +110,7 @@ def main(argv: list[str]) -> None:
         argv,
         ("frames", "video", "boxes", "out", "checkpoint", "checkpoint_step",
          "fps", "synthetic_frames", "max_frames", "clip_refine_steps"),
-        flags=("no_track", "no_smooth"),
+        flags=("no_track", "no_smooth", "clip_refine_kp"),
     )
     config = load_config(overrides)
     fps = float(own.get("fps", 30.0))
@@ -179,6 +182,15 @@ def main(argv: list[str]) -> None:
     n_frames = 0
     faces = np.asarray(smpl_model.faces)
     clip_refine_steps = int(own.get("clip_refine_steps", 0))
+    # --clip_refine_kp: anchor the bundle fit to the heatmap head's
+    # per-frame detections (the temporal hybrid — fit toward independent
+    # image evidence, not just smoothness). Needs a kp_head model.
+    clip_refine_kp = "clip_refine_kp" in own
+    if clip_refine_kp and not getattr(config.train.hmr, "kp_head", False):
+        raise SystemExit(
+            "error: --clip_refine_kp needs a kp_head model "
+            "(--train.hmr.kp_head=true + a checkpoint trained with it)"
+        )
     # Per-frame raw streams for the optional temporal-bundle pass (person
     # identity = tracked slot index, stable because slots follow their own
     # propagated boxes).
@@ -206,6 +218,8 @@ def main(argv: list[str]) -> None:
             if smooth
             else MeshRecoverySession._ALL_FIELDS
         )
+        if clip_refine_kp:
+            fetch = (*fetch, "kp2d_det", "kp_conf")
         results = session.recover(frame, boxes, fields=fetch)
         N = len(results)
 
@@ -263,14 +277,16 @@ def main(argv: list[str]) -> None:
                 + "\n"
             )
         if clip_refine_steps > 0:
-            stream.append(
-                {
-                    "boxes": boxes.copy(),
-                    "theta": np.stack([np.asarray(r.theta) for r in results]),
-                    "beta": np.stack([np.asarray(r.beta) for r in results]),
-                    "cam": np.stack([np.asarray(r.cam) for r in results]),
-                }
-            )
+            row = {
+                "boxes": boxes.copy(),
+                "theta": np.stack([np.asarray(r.theta) for r in results]),
+                "beta": np.stack([np.asarray(r.beta) for r in results]),
+                "cam": np.stack([np.asarray(r.cam) for r in results]),
+            }
+            if clip_refine_kp:
+                row["kp2d"] = np.stack([np.asarray(r.kp2d_det) for r in results])
+                row["conf"] = np.stack([np.asarray(r.kp_conf) for r in results])
+            stream.append(row)
         n_frames += 1
 
         # Track: next frame's crops follow this frame's recovered keypoints
@@ -310,7 +326,14 @@ def main(argv: list[str]) -> None:
             th = jnp.asarray(np.stack([s["theta"][slot] for s in stream]))
             be = jnp.asarray(np.stack([s["beta"][slot] for s in stream]))
             cm = jnp.asarray(np.stack([s["cam"][slot] for s in stream]))
-            fit = fit_jit(raw_smpl, th, be, cm)
+            if clip_refine_kp:
+                fit = fit_jit(
+                    raw_smpl, th, be, cm,
+                    kp2d=jnp.asarray(np.stack([s["kp2d"][slot] for s in stream])),
+                    vis=jnp.asarray(np.stack([s["conf"][slot] for s in stream])),
+                )
+            else:
+                fit = fit_jit(raw_smpl, th, be, cm)
             a0 = float(accel_error_mm(joints_jit(th, be)))
             a1 = float(accel_error_mm(joints_jit(fit.theta, fit.beta)))
             refined.append(

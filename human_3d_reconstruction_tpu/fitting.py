@@ -106,7 +106,11 @@ def refine_params(
     beta0 = jnp.asarray(beta, jnp.float32)
     cam0 = jnp.asarray(cam, jnp.float32)
     kp2d = jnp.asarray(kp2d, jnp.float32)
-    mask = (jnp.asarray(vis, jnp.float32) > 0).astype(jnp.float32)
+    # Continuous observation weights: 0/1 GT visibility behaves exactly as
+    # before, while heatmap-head confidences (the self-refined path feeds
+    # kp_conf here) genuinely down-weight uncertain detections instead of
+    # being binarized away.
+    mask = jnp.maximum(jnp.asarray(vis, jnp.float32), 0.0)
     if masks is not None:
         masks = jnp.asarray(masks, jnp.float32)
         faces_arr = jnp.asarray(smpl_params["faces"], jnp.int32)
@@ -277,7 +281,8 @@ def refine_clip_params(
     )
     if kp2d is not None:
         kp2d = jnp.asarray(kp2d, jnp.float32)
-        kmask = (jnp.asarray(vis, jnp.float32) > 0).astype(jnp.float32)
+        # Continuous weights (confidences) — see refine_params.
+        kmask = jnp.maximum(jnp.asarray(vis, jnp.float32), 0.0)
 
     def objective(params):
         th, be, cm = params["theta"], params["beta"], params["cam"]

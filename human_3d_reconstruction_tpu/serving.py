@@ -49,6 +49,9 @@ class PersonResult:
     joints3d: np.ndarray   # (24, 3)
     joints2d: np.ndarray   # (K, 2) normalized crop coords
     box: np.ndarray        # (3,) [cx, cy, scale]
+    # Heatmap-head detections (kp_head models; request via `fields`):
+    kp2d_det: Optional[np.ndarray] = None  # (14, 2) crop coords
+    kp_conf: Optional[np.ndarray] = None   # (14,) confidence
 
 
 def run_person_chunks(boxes: np.ndarray, cap: int, run_chunk):
@@ -306,8 +309,14 @@ class MeshRecoverySession:
         the D2H copy of (N, 6890, 3) vertex buffers dominates serving time
         (measured: ~80% of per-frame latency at 480p), so a params-only
         caller skips it entirely. Unfetched fields are None."""
+        missing = [k for k in fields if getattr(out, k, None) is None]
+        if missing:
+            raise ValueError(
+                f"fields {missing} are not produced by this model/program "
+                "(heatmap detections need HMRConfig.kp_head=True)"
+            )
         host = jax.device_get({k: getattr(out, k) for k in fields})
-        blank = {k: None for k in self._ALL_FIELDS}
+        blank = {k: None for k in (*self._ALL_FIELDS, "kp2d_det", "kp_conf")}
         return [
             PersonResult(
                 **{**blank, **{k: v[i] for k, v in host.items()}},

@@ -310,6 +310,49 @@ class TestCLISmoke:
         assert np.isfinite(np.asarray(refined[-1]["theta"])).all()
         assert (tmp_path / "vout" / "frame_00003.png").exists()
 
+    def test_video_cli_clip_refine_kp_anchored(self, tmp_path):
+        """--clip_refine_kp: the bundle fit anchors to the kp_head model's
+        own per-frame detections inside the same pass (temporal hybrid)."""
+        r = run_cli(
+            "video",
+            [
+                "--synthetic_frames=3",
+                f"--out={tmp_path}/vout",
+                "--clip_refine_steps=3",
+                "--clip_refine_kp",
+                "--data.crop_size=48",
+                "--train.hmr.encoder=resnet18",
+                "--train.hmr.hidden_size=64",
+                "--train.hmr.kp_head=true",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert blob["clip_refined"] and blob["num_frames"] == 3
+        refined = [
+            json.loads(line)
+            for line in (tmp_path / "vout" / "params_refined.jsonl")
+            .read_text()
+            .splitlines()
+        ]
+        assert np.isfinite(np.asarray(refined[-1]["theta"])).all()
+        # headless model + --clip_refine_kp must fail with a clear error
+        r2 = run_cli(
+            "video",
+            [
+                "--synthetic_frames=3",
+                f"--out={tmp_path}/vout2",
+                "--clip_refine_steps=3",
+                "--clip_refine_kp",
+                "--data.crop_size=48",
+                "--train.hmr.encoder=resnet18",
+                "--train.hmr.hidden_size=64",
+            ],
+            cwd=tmp_path,
+        )
+        assert r2.returncode != 0 and "kp_head" in r2.stderr
+
     def test_export_cli_roundtrip(self, tmp_path):
         """Export CLI -> artifact dir -> ExportedRecoverySession serves it."""
         r = run_cli(

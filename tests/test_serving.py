@@ -314,3 +314,37 @@ class TestInputValidation:
         # no checkpoint flags at all: passthrough
         v = {"params": {}}
         assert restore_checkpoint_variables({}, v) is v
+
+
+class TestKeypointDetectionFields:
+    """kp_head models surface their heatmap detections through `fields`."""
+
+    @pytest.fixture(scope="class")
+    def kp_session(self, smpl_model):
+        import jax.numpy as jnp
+
+        cfg = HMRConfig(encoder="resnet18", hidden_size=64, kp_head=True)
+        model = HMRModel(config=cfg)
+        variables = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+        return MeshRecoverySession(
+            variables, smpl_model, hmr_config=cfg, crop_size=64, smpl_path="xla"
+        )
+
+    def test_detections_fetchable(self, kp_session, frame):
+        res = kp_session.recover(
+            frame, [[80.0, 60.0, 90.0], [40.0, 60.0, 70.0]],
+            fields=("theta", "kp2d_det", "kp_conf"),
+        )
+        assert len(res) == 2
+        for r in res:
+            assert r.kp2d_det.shape == (14, 2)
+            assert r.kp_conf.shape == (14,)
+            assert np.isfinite(r.kp2d_det).all()
+            assert (r.kp2d_det >= -1.0).all() and (r.kp2d_det <= 1.0).all()
+            assert (r.kp_conf >= 0.0).all() and (r.kp_conf <= 1.0).all()
+            # unrequested fields stay None (transfer-size contract)
+            assert r.verts is None
+
+    def test_headless_model_raises_clearly(self, session, frame):
+        with pytest.raises(ValueError, match="kp_head"):
+            session.recover(frame, [[80.0, 60.0, 90.0]], fields=("kp2d_det",))
