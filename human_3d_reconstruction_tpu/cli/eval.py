@@ -88,6 +88,11 @@ def main(argv: list[str]) -> None:
         print(report.to_json())
         return
 
+    if config.flip_eval and config.fit_steps > 0:
+        raise SystemExit(
+            "error: --flip_eval composes only with plain regression eval "
+            "(--fit_steps would need mirrored observations too); pick one"
+        )
     if config.fit_steps > 0:
         # SMPLify-style test-time refinement: fit (theta, beta, cam) to the
         # dataset's 2D keypoints (as a detector stand-in), then score 3D.
@@ -202,6 +207,35 @@ def main(argv: list[str]) -> None:
                 jnp.asarray(scales),
                 jnp.asarray(batch.kp2d),
                 fit_steps=config.fit_steps,
+            )
+    elif config.flip_eval:
+        # Flip-averaged evaluation (HMR/SPIN-family test-time trick): ONE
+        # jitted program runs the predictor on the crop and its horizontal
+        # mirror, un-mirrors the second prediction, and averages.
+        from functools import partial
+
+        from human_3d_reconstruction_tpu.api import recover_mesh_fn
+        from human_3d_reconstruction_tpu.eval.protocol import unflip_joints3d
+
+        echo("flip-averaged eval ON (2x predictor FLOPs, one program)")
+
+        @jax.jit
+        def flip_avg_predict(variables, images, centers, scales):
+            crops = preprocess_crops(
+                images, centers, scales, out_size=config.data.crop_size
+            )
+            fwd = partial(
+                recover_mesh_fn, model, variables, smpl_params,
+                smpl_path=config.smpl_path,
+            )
+            j = fwd(crops).eval_joints3d[:, :NUM_KP]
+            j_flip = fwd(crops[:, :, ::-1, :]).eval_joints3d[:, :NUM_KP]
+            return 0.5 * (j + unflip_joints3d(j_flip))
+
+        def predict_joints(images, centers, scales):
+            return flip_avg_predict(
+                variables, jnp.asarray(images), jnp.asarray(centers),
+                jnp.asarray(scales),
             )
     else:
         def predict_joints(images, centers, scales):

@@ -75,6 +75,12 @@ class RunConfig:
     # detections (needs train.hmr.kp_head=true) — the self-contained mode,
     # and the honest one for datasets whose GT kp2d the model never sees.
     fit_source: str = "gt"
+    # Flip-averaged test-time evaluation (the HMR/SPIN-family eval trick):
+    # predict on the crop AND its horizontal mirror, un-mirror the second
+    # prediction (negate x + L/R joint permutation), average the 3D joints.
+    # One jitted program, 2x predictor FLOPs. Plain-regression eval only
+    # (composing with --fit_steps would need mirrored observations too).
+    flip_eval: bool = False
     seed: int = 0
     total_steps: int = 10000
     # Also the async-dispatch sync cadence: each logged step reads metrics

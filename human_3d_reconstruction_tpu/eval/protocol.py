@@ -36,6 +36,19 @@ H36M_EVAL_ACTIONS = (
 )
 
 
+def unflip_joints3d(joints: jax.Array) -> jax.Array:
+    """Map LSP-14 3D joints predicted from a horizontally MIRRORED crop back
+    to the original frame: negate x (the weak-perspective camera aligns
+    model x with crop x) and swap left/right joint labels. Involution:
+    unflip(unflip(j)) == j. The flip-averaged eval (cli.eval --flip_eval,
+    the HMR/SPIN-family test-time trick) averages the direct prediction
+    with the un-flipped mirrored one."""
+    from human_3d_reconstruction_tpu.data.skeleton import LSP_FLIP_MAP
+
+    signs = jnp.asarray([-1.0, 1.0, 1.0], joints.dtype)
+    return joints[..., jnp.asarray(LSP_FLIP_MAP), :] * signs
+
+
 @dataclass
 class EvalBatch:
     images: np.ndarray    # (B, H, W, 3) [0,255] raw frames

@@ -149,6 +149,33 @@ class TestCLISmoke:
         assert "mpjpe_mm" in blob and np.isfinite(blob["mpjpe_mm"])
         assert (tmp_path / "rep.json").exists()
 
+    def test_eval_cli_flip_averaged(self, tmp_path):
+        """--flip_eval: flip-averaged prediction scores through the same
+        protocol (one extra program), and is rejected alongside --fit_steps."""
+        r = run_cli(
+            "eval",
+            [
+                "h36m_eval",
+                "--flip_eval=true",
+                f"--eval.report_path={tmp_path}/rep.json",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        blob = json.loads(r.stdout)
+        assert np.isfinite(blob["mpjpe_mm"])
+        r2 = run_cli(
+            "eval",
+            [
+                "h36m_eval", "--flip_eval=true", "--fit_steps=3",
+                f"--eval.report_path={tmp_path}/rep2.json",
+                "--data.crop_size=48",
+            ],
+            cwd=tmp_path,
+        )
+        assert r2.returncode != 0 and "flip_eval" in r2.stderr
+
     def test_eval_cli_with_fit_steps(self, tmp_path):
         """--fit_steps: the fully-jitted refine path end-to-end."""
         r = run_cli(

@@ -188,3 +188,46 @@ class TestConverters:
         center, scale = box_from_keypoints(kp)
         np.testing.assert_allclose(center, [50, 20])
         assert scale == pytest.approx(120.0)  # 100 * 1.2
+
+
+class TestFlipAveragedEval:
+    def test_unflip_is_involution_and_exact_on_mirrored_pairs(self):
+        import jax.numpy as jnp
+
+        from human_3d_reconstruction_tpu.eval.protocol import unflip_joints3d
+
+        rng = np.random.default_rng(5)
+        j = jnp.asarray(rng.normal(0, 0.3, (4, 14, 3)).astype(np.float32))
+        # Involution: applying the un-flip twice is the identity.
+        np.testing.assert_allclose(
+            np.asarray(unflip_joints3d(unflip_joints3d(j))), np.asarray(j),
+            atol=0,
+        )
+        # A prediction that IS the mirror of j (what a perfectly
+        # equivariant network would output on the flipped crop) un-flips
+        # back to j exactly, so flip-averaging adds zero bias.
+        mirrored = unflip_joints3d(j)
+        avg = 0.5 * (j + unflip_joints3d(mirrored))
+        np.testing.assert_allclose(np.asarray(avg), np.asarray(j), atol=0)
+
+    def test_left_right_labels_swap(self):
+        import jax.numpy as jnp
+
+        from human_3d_reconstruction_tpu.data.skeleton import LSP_FLIP_MAP
+        from human_3d_reconstruction_tpu.eval.protocol import unflip_joints3d
+
+        # Joint k carries value k in y: after unflip, slot k must hold the
+        # value of its mirror partner (label swap), with x negated.
+        j = jnp.stack(
+            [
+                jnp.arange(14, dtype=jnp.float32),
+                jnp.arange(14, dtype=jnp.float32) * 10,
+                jnp.arange(14, dtype=jnp.float32) * 100,
+            ],
+            axis=-1,
+        )[None]
+        out = np.asarray(unflip_joints3d(j))[0]
+        for k in range(14):
+            partner = int(LSP_FLIP_MAP[k])
+            assert out[k, 1] == partner * 10.0
+            assert out[k, 0] == -float(partner)
