@@ -54,6 +54,9 @@ def main() -> None:
                     help="HMRConfig.encoder: resnet18/34/50/101 | hourglass "
                          "| vit_{ti,s,b}16")
     ap.add_argument("--smpl", choices=["xla", "pallas"], default="pallas")
+    ap.add_argument("--rot_rep", choices=["aa", "rot6d"], default="aa",
+                    help="IEF stream parameterization (HMRConfig.rot_rep): "
+                    "additive axis-angle (reference) or continuous 6D")
     ap.add_argument("--no_adversarial", action="store_true")
     ap.add_argument("--pose_prior", action="store_true",
                     help="add the GMM pose-prior NLL (fit by EM on the train"
@@ -147,7 +150,8 @@ def main() -> None:
         aug_scale_jitter=0.0 if args.no_aug else 0.15,
         aug_flip=not args.no_aug,
         hmr=HMRConfig(
-            encoder=args.encoder, encoder_dtype=dtype, kp_head=args.kp_head
+            encoder=args.encoder, encoder_dtype=dtype, kp_head=args.kp_head,
+            rot_rep=args.rot_rep,
         ),
     )
     if args.kp_head:
@@ -417,6 +421,7 @@ def main() -> None:
         "kp_head": args.kp_head,
         "encoder": args.encoder,
         "encoder_dtype": args.encoder_dtype,
+        "rot_rep": args.rot_rep,
         "log": str(log_path),
     }
     print(json.dumps(summary), flush=True)

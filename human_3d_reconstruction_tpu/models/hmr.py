@@ -28,6 +28,11 @@ from human_3d_reconstruction_tpu.models.resnet import ResNet50, ResNetConfig
 class HMRConfig:
     num_iterations: int = 3
     hidden_size: int = 1024
+    # Pose parameterization of the IEF residual stream: 'aa' (85-d
+    # axis-angle, reference parity) or 'rot6d' (157-d continuous 6D pose,
+    # Zhou et al. 2019 — the successor HMR line's head). Output contract is
+    # identical either way: (T, B, 85) axis-angle (models/regressor.py).
+    rot_rep: str = "aa"
     encoder: str = "resnet50"  # resnet18/34/50/101 | hourglass | vit_{ti,s,b}16
     encoder_dtype: Any = jnp.float32  # bf16 for max throughput
     encoder_stem: str = "conv7"  # 's2d': MXU-friendly space-to-depth stem
@@ -164,6 +169,7 @@ class HMRModel(nn.Module):
             hidden_size=cfg.hidden_size,
             dropout_rate=cfg.dropout_rate,
             mean_params=self.mean_params,
+            rot_rep=cfg.rot_rep,
             name="regressor",
         )(features, train=train)
 

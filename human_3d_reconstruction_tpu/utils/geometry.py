@@ -125,3 +125,12 @@ def with_zeros(R: jax.Array, t: jax.Array) -> jax.Array:
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32), (*top.shape[:-2], 1, 4)
     )
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+def matrix_to_rot6d(R: jax.Array) -> jax.Array:
+    """(..., 3, 3) -> (..., 6), the exact inverse layout of `rot6d_to_matrix`
+    (which reshapes the 6-vector to (3, 2) columns): interleave the first
+    two matrix columns. Round-trip is exact for rotation matrices."""
+    return jnp.stack([R[..., :, 0], R[..., :, 1]], axis=-1).reshape(
+        *R.shape[:-2], 6
+    )

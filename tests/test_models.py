@@ -195,6 +195,48 @@ class TestIEFRegressor:
         out = model.apply(vars_, feat)
         assert float(jnp.abs(out[1] - out[0]).max()) > 0
 
+    def test_rot6d_output_contract(self):
+        """rot_rep='rot6d' keeps the (T, B, 85) axis-angle output contract:
+        every iteration's theta decodes to valid rotations, and iteration 0
+        stays near the (converted) mean pose."""
+        model = IEFRegressor(num_iterations=3, rot_rep="rot6d")
+        feat = jnp.ones((4, 2048))
+        vars_ = model.init(jax.random.key(0), feat)
+        out = model.apply(vars_, feat)
+        assert out.shape == (3, 4, NUM_SMPL_PARAMS)
+        # Stream is 157-d internally (24x6 + 10 + 3).
+        assert vars_["params"]["fc_out"]["kernel"].shape[-1] == 24 * 6 + 10 + 3
+
+        from human_3d_reconstruction_tpu.utils.geometry import rodrigues
+
+        R = rodrigues(out[:, :, :72].reshape(-1, 3))
+        eye = jnp.broadcast_to(jnp.eye(3), R.shape)
+        should_eye = jnp.matmul(R, jnp.swapaxes(R, -1, -2))
+        assert float(jnp.abs(should_eye - eye).max()) < 1e-4
+        mean = default_mean_params()
+        assert float(jnp.abs(out[0] - mean).max()) < 1.0
+
+    def test_rot6d_gradients_flow(self):
+        model = IEFRegressor(num_iterations=2, rot_rep="rot6d")
+        feat = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 2048)), dtype=jnp.float32
+        )
+        vars_ = model.init(jax.random.key(0), feat)
+
+        def loss(params):
+            out = model.apply({"params": params}, feat)
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(vars_["params"])
+        leaves = jax.tree.leaves(jax.tree.map(lambda x: jnp.abs(x).max(), g))
+        assert all(np.isfinite(float(x)) for x in leaves)
+        assert max(float(x) for x in leaves) > 0
+
+    def test_unknown_rot_rep_raises(self):
+        model = IEFRegressor(rot_rep="quaternion")
+        with pytest.raises(ValueError, match="rot_rep"):
+            model.init(jax.random.key(0), jnp.ones((1, 2048)))
+
     def test_split_params(self):
         p = jnp.arange(85.0)[None]
         theta, beta, cam = split_params(p)
@@ -222,6 +264,18 @@ class TestDiscriminator:
 
 
 class TestEndToEnd:
+    def test_rot6d_full_model_smoke(self, rng):
+        """HMRConfig(rot_rep='rot6d') flows through the full model: same
+        HMROutput contract, finite outputs (downstream consumers are
+        representation-agnostic)."""
+        model = HMRModel(config=HMRConfig(rot_rep="rot6d"))
+        images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        vars_ = model.init(jax.random.key(0), images)
+        out = model.apply(vars_, images)
+        assert out.theta.shape == (2, 72)
+        assert out.all_params.shape == (3, 2, NUM_SMPL_PARAMS)
+        assert np.all(np.isfinite(np.asarray(out.all_params)))
+
     def test_recover_mesh_smoke(self, smpl_model, rng):
         """Integration smoke: random crop -> full pipeline -> finite outputs,
         correct shapes (SURVEY.md section 4 item 5)."""
@@ -241,7 +295,8 @@ class TestEndToEnd:
         assert out.eval_joints3d.shape == (2, 19, 3)
         assert out.joints2d.shape == (2, 19, 2)
         for leaf in out:
-            assert np.all(np.isfinite(np.asarray(leaf)))
+            if leaf is not None:  # kp2d_det/kp_conf are None without kp_head
+                assert np.all(np.isfinite(np.asarray(leaf)))
 
     def test_no_retrace_on_same_shape(self, smpl_model, rng):
         model = HMRModel(config=HMRConfig())

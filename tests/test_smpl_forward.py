@@ -80,6 +80,17 @@ class TestRot6D:
         np.testing.assert_allclose(should_eye, np.broadcast_to(np.eye(3), (16, 3, 3)), atol=1e-5)
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
 
+    def test_matrix_roundtrip(self, rng):
+        """matrix_to_rot6d is the exact layout-inverse of rot6d_to_matrix:
+        R -> 6d -> R is identity for rotation matrices (the Gram-Schmidt in
+        rot6d_to_matrix is a no-op on already-orthonormal columns)."""
+        from human_3d_reconstruction_tpu.utils.geometry import matrix_to_rot6d, rodrigues
+
+        aa = rng.normal(scale=2.0, size=(32, 3)).astype(np.float32)
+        R = rodrigues(jnp.asarray(aa))
+        back = np.asarray(rot6d_to_matrix(matrix_to_rot6d(R)))
+        np.testing.assert_allclose(back, np.asarray(R), atol=1e-5)
+
 
 class TestSMPLForwardGolden:
     @pytest.fixture(scope="class")

@@ -119,6 +119,32 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    def test_rot6d_regressor_trains(self, smpl_model, setup):
+        """rot_rep='rot6d' runs the full adversarial G+D step and its
+        supervised loss drops — the 6D stream's output-boundary conversion
+        (rot6d -> axis-angle) backpropagates cleanly through every loss."""
+        config = TrainConfig(
+            crop_size=CROP, g_lr=1e-4, d_lr=1e-4,
+            hmr=HMRConfig(encoder="resnet18", hidden_size=128, rot_rep="rot6d"),
+        )
+        gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        step_fn = jax.jit(make_train_step(config, model, disc_mod, g_tx, d_tx))
+        _, _, _, _, smpl_params, batch, mt, mb = setup
+        losses = []
+        for _ in range(8):
+            gen, disc, metrics = step_fn(
+                gen, disc, smpl_params, batch, mt, mb, jax.random.key(2)
+            )
+            losses.append(
+                float(metrics["loss_kp2d"])
+                + float(metrics["loss_3d"])
+                + float(metrics["loss_param"])
+            )
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
     def test_uint8_images_accepted(self, setup):
         """The host ships uint8 pixels (4x less H2D); the step casts on
         device and must match the f32 path on pre-quantized values."""
