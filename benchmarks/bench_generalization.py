@@ -64,6 +64,14 @@ def main() -> None:
                          " --no_adversarial this is the discriminator-free"
                          " training mode (TPU_QUEUE item 8 A/B)")
     ap.add_argument("--pose_prior_weight", type=float, default=1e-3)
+    ap.add_argument("--no_smpl_gt", action="store_true",
+                    help="drop the SMPL param GT from training batches "
+                    "(has_smpl=0): the keypoints-only annotation regime "
+                    "SPIN exists for")
+    ap.add_argument("--spin_steps", type=int, default=0,
+                    help="> 0: SPIN in-graph fitting supervision "
+                    "(TrainConfig.spin_fit_steps; pair with --no_smpl_gt)")
+    ap.add_argument("--spin_weight", type=float, default=60.0)
     ap.add_argument("--kp_head", action="store_true",
                     help="train the 2D keypoint heatmap head alongside the"
                          " regressor (models/keypoint_head.py) — enables the"
@@ -164,6 +172,18 @@ def main() -> None:
             ),
         )
         echo(f"keypoint heatmap head ON (w={args.kp_heatmap_weight})")
+    if args.spin_steps > 0:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            spin_fit_steps=args.spin_steps,
+            loss_weights=dataclasses.replace(
+                config.loss_weights, spin=args.spin_weight
+            ),
+        )
+        echo(f"SPIN in-graph fitting ON ({args.spin_steps} steps, "
+             f"w={args.spin_weight})")
     pose_prior = None
     if args.pose_prior:
         import dataclasses
@@ -243,7 +263,7 @@ def main() -> None:
                 "has_3d": ones,
                 "theta": train_ds.thetas[idx],
                 "beta": train_ds.betas[idx],
-                "has_smpl": ones,
+                "has_smpl": np.zeros_like(ones) if args.no_smpl_gt else ones,
             }
 
     batches = device_prefetch(batch_stream())
@@ -422,6 +442,8 @@ def main() -> None:
         "encoder": args.encoder,
         "encoder_dtype": args.encoder_dtype,
         "rot_rep": args.rot_rep,
+        "no_smpl_gt": args.no_smpl_gt,
+        "spin_steps": args.spin_steps,
         "log": str(log_path),
     }
     print(json.dumps(summary), flush=True)

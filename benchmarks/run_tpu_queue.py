@@ -106,6 +106,31 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--no_adversarial", "--pose_prior",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_prior")], False,
     ),
+    # SPIN keypoints-only A/B (queue item 9c): both arms drop the SMPL
+    # param GT; the spin arm adds the in-graph SMPLify pseudo-GT.
+    (
+        "gen_nogt_8k", 7200,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--no_smpl_gt",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_nogt")], False,
+    ),
+    (
+        "gen_spin_8k", 7200,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--no_smpl_gt", "--spin_steps", "10",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_spin")], False,
+    ),
+    # rot6d vs axis-angle IEF stream (queue item 9b): the aa arm is the
+    # gen_40k trajectory's first 8k steps; one rot6d arm suffices.
+    (
+        "gen_rot6d_8k", 7200,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--rot_rep", "rot6d",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_rot6d")], False,
+    ),
     # Hardened mesh-protocol run (queue item 5) — last: same wall cost as
     # gen_40k and the DELTA-vs-blobs story needs the blob run first anyway.
     (

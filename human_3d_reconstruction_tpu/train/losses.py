@@ -41,6 +41,12 @@ class LossWeights:
     # model config has kp_head=True. Gaussian-map MSE values are ~1e-2
     # scale, so weights around 100 put it on par with the other terms.
     kp_heatmap: float = 0.0
+    # SPIN-style in-the-loop fitting supervision (Kolotouros et al. 2019):
+    # param loss against SMPLify pseudo-ground-truth fitted IN-GRAPH from
+    # the network's own prediction (trainer.TrainConfig.spin_fit_steps).
+    # Same scale as smpl_params; active only for samples WITHOUT real SMPL
+    # GT whose fit passes the quality gate.
+    spin: float = 0.0
 
 
 def _masked_mean(err: jax.Array, mask: jax.Array) -> jax.Array:

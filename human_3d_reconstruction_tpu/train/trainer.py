@@ -74,6 +74,19 @@ class TrainConfig:
     aug_rot_buckets: int = 8
     aug_scale_jitter: float = 0.0
     aug_flip: bool = False
+    # SPIN in-the-loop fitting (Kolotouros et al. 2019), TPU-first: K
+    # SMPLify steps run INSIDE the jitted train step, initialized from the
+    # network's prediction, whole batch at once — no host round trip and no
+    # on-disk fit dictionary (the torch SPIN caches fits across epochs; we
+    # refit from the live prediction, which improves as training does —
+    # EFT-style). Active with spin_fit_steps > 0 AND loss_weights.spin > 0.
+    spin_fit_steps: int = 0
+    spin_fit_lr: float = 0.05
+    # Quality gate: accept a fit as pseudo-GT only if its per-sample visible
+    # reprojection error (mean |dx|+|dy| per joint, crop [-1, 1] units)
+    # beats the prediction's AND is under this absolute bar (0.1 ~ 11 px at
+    # crop 224) — bad early fits must not be supervised toward.
+    spin_accept_err: float = 0.1
     hmr: HMRConfig = HMRConfig()
 
 
@@ -316,7 +329,7 @@ def make_train_step(
 
             total = 0.0
             metrics = {}
-            last_theta = last_beta = None
+            last_theta = last_beta = last_cam = last_pred2d = None
             for t in range(T):  # static unroll over IEF iterations
                 theta_t, beta_t, cam_t = split_params(iters[t])
                 smpl_out = smpl_apply(smpl_params, theta_t, beta_t)
@@ -329,9 +342,55 @@ def make_train_step(
                     theta_t, beta_t, gt_theta, batch["beta"], batch["has_smpl"]
                 )
                 total = total + (w.kp2d * l_kp + w.joints3d * l_3d + w.smpl_params * l_par) / T
-                last_theta, last_beta = theta_t, beta_t
+                last_theta, last_beta, last_cam = theta_t, beta_t, cam_t
+                last_pred2d = pred14_2d
                 if t == T - 1:
                     metrics = {"loss_kp2d": l_kp, "loss_3d": l_3d, "loss_param": l_par}
+
+            if config.spin_fit_steps > 0 and w.spin > 0:
+                # SPIN: SMPLify pseudo-GT fitted in-graph from the (frozen)
+                # prediction. stop_gradient on every fit input/output keeps
+                # the K-step scan out of the backward graph entirely.
+                from human_3d_reconstruction_tpu.fitting import refine_params
+
+                fit = refine_params(
+                    smpl_params,
+                    jax.lax.stop_gradient(last_theta),
+                    jax.lax.stop_gradient(last_beta),
+                    jax.lax.stop_gradient(last_cam),
+                    kp2d,
+                    vis,
+                    num_steps=config.spin_fit_steps,
+                    lr=config.spin_fit_lr,
+                    pose_prior=pose_prior,
+                )
+                fit_theta = jax.lax.stop_gradient(fit.theta)
+                fit_beta = jax.lax.stop_gradient(fit.beta)
+                fit_cam = jax.lax.stop_gradient(fit.cam)
+                fit14_3d = smpl_apply(smpl_params, fit_theta, fit_beta).eval_joints[:, :NUM_KP]
+                fit2d = orthographic_project(fit14_3d, fit_cam)
+
+                vis_m = (vis > 0).astype(jnp.float32)
+                denom = jnp.maximum(jnp.sum(vis_m, axis=-1), 1.0)
+
+                def _per_sample_err(p2d):
+                    e = jnp.sum(jnp.abs(p2d - kp2d), axis=-1)  # (B, 14)
+                    return jnp.sum(e * vis_m, axis=-1) / denom
+
+                fit_err = jax.lax.stop_gradient(_per_sample_err(fit2d))
+                pred_err = jax.lax.stop_gradient(_per_sample_err(last_pred2d))
+                accept = (fit_err < pred_err) & (fit_err < config.spin_accept_err)
+                # Pseudo-GT only where no real SMPL annotation exists —
+                # real GT stays authoritative via the smpl_params loss.
+                use = accept.astype(jnp.float32) * (
+                    1.0 - (batch["has_smpl"] > 0).astype(jnp.float32)
+                )
+                l_spin = L.smpl_param_loss(
+                    last_theta, last_beta, fit_theta, fit_beta, use
+                )
+                total = total + w.spin * l_spin
+                metrics["loss_spin"] = l_spin
+                metrics["spin_accept_frac"] = jnp.mean(use)
 
             if config.use_adversarial:
                 fake_scores = disc.apply({"params": disc_state.params}, last_theta, last_beta)

@@ -288,6 +288,68 @@ class TestCheckpoint:
             restore_inference_variables(mgr, template, step=6)
 
 
+class TestSpinFitting:
+    """SPIN-style in-graph fitting supervision (TrainConfig.spin_fit_steps)."""
+
+    @pytest.fixture(scope="class")
+    def spin_setup(self, smpl_model):
+        import dataclasses
+
+        config = TrainConfig(
+            crop_size=CROP, g_lr=1e-4, d_lr=1e-4,
+            hmr=HMRConfig(encoder="resnet18", hidden_size=128),
+            spin_fit_steps=8,
+        )
+        config = dataclasses.replace(
+            config,
+            loss_weights=dataclasses.replace(config.loss_weights, spin=60.0),
+        )
+        gen, disc, model, disc_mod, g_tx, d_tx = create_states(
+            config, jax.random.key(0), smpl_model.as_dict()
+        )
+        step_fn = jax.jit(make_train_step(config, model, disc_mod, g_tx, d_tx))
+        return config, step_fn, gen, disc
+
+    def test_step_runs_and_metrics_present(self, spin_setup, setup):
+        _, step_fn, gen, disc = spin_setup
+        _, _, _, _, smpl_params, batch, mt, mb = setup
+        batch = {**batch, "has_smpl": jnp.zeros_like(batch["has_smpl"])}
+        new_gen, _, metrics = step_fn(
+            gen, disc, smpl_params, batch, mt, mb, jax.random.key(1)
+        )
+        assert "loss_spin" in metrics and "spin_accept_frac" in metrics
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+        frac = float(metrics["spin_accept_frac"])
+        assert 0.0 <= frac <= 1.0
+
+    def test_real_gt_excluded(self, spin_setup, setup):
+        """Samples WITH real SMPL GT never get pseudo-GT supervision: with
+        has_smpl all-ones the spin loss is exactly zero."""
+        _, step_fn, gen, disc = spin_setup
+        _, _, _, _, smpl_params, batch, mt, mb = setup
+        batch = {**batch, "has_smpl": jnp.ones_like(batch["has_smpl"])}
+        _, _, metrics = step_fn(
+            gen, disc, smpl_params, batch, mt, mb, jax.random.key(1)
+        )
+        assert float(metrics["loss_spin"]) == 0.0
+        assert float(metrics["spin_accept_frac"]) == 0.0
+
+    def test_fits_accepted_as_training_progresses(self, spin_setup, setup):
+        """With no SMPL GT anywhere, the gate eventually accepts fits (the
+        fitter only has to beat the raw prediction at the mean pose)."""
+        _, step_fn, gen, disc = spin_setup
+        _, _, _, _, smpl_params, batch, mt, mb = setup
+        batch = {**batch, "has_smpl": jnp.zeros_like(batch["has_smpl"])}
+        fracs = []
+        for i in range(6):
+            gen, disc, metrics = step_fn(
+                gen, disc, smpl_params, batch, mt, mb, jax.random.key(i)
+            )
+            fracs.append(float(metrics["spin_accept_frac"]))
+        assert max(fracs) > 0.0, fracs
+
+
 class TestAugmentedTraining:
     def test_step_with_full_augmentation(self, smpl_model, setup):
         """Rotation/scale/flip aug enabled -> gather preprocess path in the
