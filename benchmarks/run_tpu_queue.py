@@ -201,18 +201,37 @@ def main() -> None:
             sys.exit(3)
         out_f = OUT / f"{name}.out"
         err_f = OUT / f"{name}.err"
-        print(f"[queue] {name}: starting (timeout {timeout_s}s)", file=sys.stderr)
-        t0 = time.time()
-        with out_f.open("w") as fo, err_f.open("w") as fe:
-            # `timeout` (SIGTERM, then the shell default escalation is NOT
-            # used — no --kill-after) so the process can exit cleanly and
-            # never leaves the tunnel with in-flight transfers + SIGKILL,
-            # the round-3 relay-death pattern.
-            proc = subprocess.run(
-                ["timeout", str(timeout_s), *argv],
-                cwd=REPO, stdout=fo, stderr=fe,
+        # Required items get one retry after a pause: a transient failure
+        # (host contention from a concurrent CPU suite, a cold-compile
+        # blowing the first window) must not abort the whole TPU window.
+        attempts = 2 if required else 1
+        for attempt in range(attempts):
+            print(
+                f"[queue] {name}: starting (timeout {timeout_s}s, "
+                f"attempt {attempt + 1}/{attempts})", file=sys.stderr,
             )
-        dt = time.time() - t0
+            t0 = time.time()
+            with out_f.open("w") as fo, err_f.open("w") as fe:
+                # `timeout` (SIGTERM, then the shell default escalation is NOT
+                # used — no --kill-after) so the process can exit cleanly and
+                # never leaves the tunnel with in-flight transfers + SIGKILL,
+                # the round-3 relay-death pattern.
+                proc = subprocess.run(
+                    ["timeout", str(timeout_s), *argv],
+                    cwd=REPO, stdout=fo, stderr=fe,
+                )
+            dt = time.time() - t0
+            if proc.returncode == 0 or attempt + 1 == attempts:
+                break
+            print(
+                f"[queue] {name}: rc={proc.returncode} after {dt / 60:.1f} min"
+                f" — retrying in 120 s", file=sys.stderr,
+            )
+            time.sleep(120)
+            if not relay_alive():
+                print(f"[queue] relay died before {name} retry; stopping", file=sys.stderr)
+                save_state(state)
+                sys.exit(3)
         if proc.returncode == 0:
             state["done"].append(name)
             print(f"[queue] {name}: OK in {dt / 60:.1f} min", file=sys.stderr)
