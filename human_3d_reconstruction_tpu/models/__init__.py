@@ -19,6 +19,7 @@ from human_3d_reconstruction_tpu.models.keypoint_head import (
     gaussian_heatmap_targets,
     heatmap_loss,
     soft_argmax,
+    soft_argmax_windowed,
 )
 from human_3d_reconstruction_tpu.models.vit import ViTConfig, ViTEncoder, VIT_VARIANTS
 
@@ -38,5 +39,6 @@ __all__ = [
     "gaussian_heatmap_targets",
     "heatmap_loss",
     "soft_argmax",
+    "soft_argmax_windowed",
     "optimize_for_serving",
 ]

@@ -50,6 +50,12 @@ class HMRConfig:
     # stride 4 of the crop for every encoder — resnet spatial is stride 32
     # (3 deconvs), ViT/16 stride 16 (2), hourglass already stride 4 (0).
     kp_head_deconvs: Optional[int] = None
+    # Heatmap decode: 'global' (relu-normalized expectation over the whole
+    # map — unbiased for a clean single Gaussian) or 'windowed' (expectation
+    # restricted to a box around the dominant peak — robust to the secondary
+    # modes of symmetric-limb ambiguity; see keypoint_head.py). Both are
+    # gather-free.
+    kp_decode: str = "global"
 
 
 # (stage sizes, block type): 18/34 are true basic-block nets (512-d pooled
@@ -154,6 +160,7 @@ class HMRModel(nn.Module):
             from human_3d_reconstruction_tpu.models.keypoint_head import (
                 KeypointHead,
                 soft_argmax,
+                soft_argmax_windowed,
             )
 
             heatmaps = KeypointHead(
@@ -162,7 +169,15 @@ class HMRModel(nn.Module):
                 dtype=cfg.encoder_dtype,
                 name="kp_head",
             )(spatial)
-            kp2d_det, kp_conf = soft_argmax(heatmaps)
+            if cfg.kp_decode == "windowed":
+                kp2d_det, kp_conf = soft_argmax_windowed(heatmaps)
+            elif cfg.kp_decode == "global":
+                kp2d_det, kp_conf = soft_argmax(heatmaps)
+            else:
+                raise ValueError(
+                    f"unknown kp_decode {cfg.kp_decode!r} "
+                    "(expected 'global' or 'windowed')"
+                )
 
         all_params = IEFRegressor(
             num_iterations=cfg.num_iterations,

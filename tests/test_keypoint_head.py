@@ -19,6 +19,7 @@ from human_3d_reconstruction_tpu.models.keypoint_head import (
     gaussian_heatmap_targets,
     heatmap_loss,
     soft_argmax,
+    soft_argmax_windowed,
 )
 
 pytestmark = pytest.mark.fast
@@ -72,6 +73,60 @@ class TestTargetsAndDecode:
         flat = jnp.full((1, 56, 56, NUM_KP), 0.01)
         _, conf = soft_argmax(flat)
         assert float(jnp.max(conf)) < 0.05
+
+    def test_windowed_matches_global_on_clean_gaussian(self):
+        """Single clean mode: the two decodes agree to sub-cell precision
+        (the window is centered within half a cell of the true mode, so
+        truncated-Gaussian bias is far below one cell)."""
+        rng = np.random.default_rng(5)
+        kp = jnp.asarray(_random_kp(rng, 4, NUM_KP))
+        vis = jnp.ones((4, NUM_KP), jnp.float32)
+        t = gaussian_heatmap_targets(kp, vis, 56, 56)
+        cg, _ = soft_argmax(t)
+        cw, confw = soft_argmax_windowed(t)
+        assert float(jnp.max(jnp.abs(cw - kp))) < 2.0 / 56
+        assert float(jnp.max(jnp.abs(cw - cg))) < 0.5 / 56
+        assert float(jnp.min(confw)) > 0.8
+
+    def test_windowed_rejects_secondary_mode(self):
+        """Bimodal map (the symmetric-limb ambiguity): a 0.5-amplitude
+        secondary peak drags the GLOBAL expectation toward the average of
+        the modes; the windowed decode stays on the dominant peak."""
+        K = NUM_KP
+        primary = jnp.full((1, K, 2), -0.5, jnp.float32)
+        secondary = jnp.full((1, K, 2), 0.5, jnp.float32)
+        vis = jnp.ones((1, K), jnp.float32)
+        t = (
+            gaussian_heatmap_targets(primary, vis, 56, 56)
+            + 0.5 * gaussian_heatmap_targets(secondary, vis, 56, 56)
+        )
+        cg, _ = soft_argmax(t)
+        cw, _ = soft_argmax_windowed(t)
+        # Global: pulled ~1/3 of the way to the secondary mode.
+        assert float(jnp.min(jnp.abs(cg - primary))) > 0.2
+        # Windowed: within one cell of the true dominant mode.
+        assert float(jnp.max(jnp.abs(cw - primary))) < 2.0 / 56
+
+    def test_windowed_decode_in_model(self):
+        """kp_decode='windowed' wires through HMRModel; bad value raises."""
+        cfg = HMRConfig(
+            encoder="resnet18", kp_head=True, kp_head_filters=32,
+            kp_decode="windowed",
+        )
+        model = HMRModel(config=cfg)
+        imgs = jnp.asarray(
+            np.random.default_rng(6).normal(size=(1, 64, 64, 3)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), imgs)
+        out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, imgs)
+        assert out.kp2d_det.shape == (1, NUM_KP, 2)
+        assert np.isfinite(np.asarray(out.kp2d_det)).all()
+        bad = HMRModel(config=HMRConfig(
+            encoder="resnet18", kp_head=True, kp_head_filters=32,
+            kp_decode="nope",
+        ))
+        with pytest.raises(ValueError, match="kp_decode"):
+            bad.init(jax.random.key(0), imgs)
 
     def test_heatmap_loss_zero_on_exact_and_masks_invisible(self):
         rng = np.random.default_rng(2)
