@@ -63,6 +63,11 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
         [PY, str(REPO / "benchmarks" / "bench_train.py"),
          "--batches", "128", "--encoder", "vit_s16"], False,
     ),
+    # r5: person-proposer characterization on chip (VERDICT r4 weak #3).
+    (
+        "proposal", 1200,
+        [PY, str(REPO / "benchmarks" / "bench_proposal.py")], False,
+    ),
     # The flagship: re-earn the r3e 40k checkpoint as a restorable artifact
     # (VERDICT r4 #3). Checkpoints + best-val are written DURING the run.
     (
@@ -80,6 +85,17 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "trained_eval_report_r4.json")],
         False,
     ),
+    # r5: flip-averaged eval A/B on the same checkpoint (VERDICT r4 #3's
+    # eval-time arm; plain-regression eval with and without --flip_eval).
+    (
+        "gen_40k_eval_flip", 2700,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r4_ckpt" / "ckpt"),
+         "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r4_ckpt" / "val" / "index.npz"),
+         "--flip_eval=true",
+         "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "trained_eval_report_r4_flip.json")],
+        False,
+    ),
     (
         "gen_40k_demo", 1800,
         [PY, "-m", "human_3d_reconstruction_tpu.cli.demo", "single_image",
@@ -95,6 +111,46 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--kp_head",
          "--save_checkpoint", "--export_val",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_kp")], False,
+    ),
+    # r5: score the kp checkpoint through cli.eval three ways (TPU_QUEUE
+    # item 9's scoring leg) — GT-keypoint fit, the model's OWN detections
+    # (global decode), and the windowed decode — plus the raw
+    # detection-error A/B. The self-contained-refinement MPJPE delta and
+    # the decode delta are the round-4 features' accuracy payoff numbers.
+    (
+        "kp_eval_fit_gt", 2700,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "ckpt"),
+         "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "val" / "index.npz"),
+         "--train.hmr.kp_head=true", "--fit_steps=30",
+         "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "kp_eval_fit_gt.json")],
+        False,
+    ),
+    (
+        "kp_eval_fit_self", 2700,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "ckpt"),
+         "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "val" / "index.npz"),
+         "--train.hmr.kp_head=true", "--fit_steps=30", "--fit_source=self",
+         "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "kp_eval_fit_self.json")],
+        False,
+    ),
+    (
+        "kp_eval_fit_self_win", 2700,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "ckpt"),
+         "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "val" / "index.npz"),
+         "--train.hmr.kp_head=true", "--fit_steps=30", "--fit_source=self",
+         "--train.hmr.kp_decode=windowed",
+         "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "kp_eval_fit_self_win.json")],
+        False,
+    ),
+    (
+        "kp_decode_ab", 1200,
+        [PY, str(REPO / "benchmarks" / "bench_kp_decode.py"),
+         "--checkpoint", str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "ckpt"),
+         "--index", str(REPO / "benchmarks" / "results" / "gen_r4_kp" / "val" / "index.npz")],
+        False,
     ),
     # Discriminator-free A/B (queue item 8): prior arm only — the 8k
     # adversarial trajectory is already on disk from the r3 runs and the
@@ -131,12 +187,14 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--rot_rep", "rot6d",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_rot6d")], False,
     ),
-    # Hardened mesh-protocol run (queue item 5) — last: same wall cost as
-    # gen_40k and the DELTA-vs-blobs story needs the blob run first anyway.
+    # Hardened mesh-protocol run (queue item 5) — last: the DELTA-vs-blobs
+    # story needs the blob run first anyway. r5: 12k steps (not 40k) so it
+    # fits the remaining round wall-clock; the blob trajectory at the same
+    # step count is read off gen_40k's log for the apples-to-apples delta.
     (
-        "gen_mesh_40k", 21600,
+        "gen_mesh_12k", 14400,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
+         "--steps", "12000", "--eval_every", "2000", *GEN_COMMON,
          "--protocol", "mesh", "--save_checkpoint", "--export_val",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_mesh")], False,
     ),
@@ -172,6 +230,12 @@ def main() -> None:
     ap.add_argument("--skip", default="", help="comma-separated item names")
     ap.add_argument("--force", action="store_true", help="rerun done items")
     ap.add_argument("--list", action="store_true")
+    ap.add_argument(
+        "--deadline", type=float, default=0.0,
+        help="unix timestamp: skip any item whose TIMEOUT budget would run "
+        "past it (nothing may hold the TPU when the round's driver takes "
+        "over — a SIGKILLed transfer can wedge the tunnel; see CLAUDE.md)",
+    )
     args = ap.parse_args()
 
     if args.list:
@@ -195,6 +259,12 @@ def main() -> None:
             continue
         if name in state["done"] and not args.force:
             print(f"[queue] {name}: already done, skipping", file=sys.stderr)
+            continue
+        if args.deadline and time.time() + timeout_s > args.deadline:
+            print(
+                f"[queue] {name}: timeout budget ({timeout_s}s) crosses the "
+                "deadline; skipping", file=sys.stderr,
+            )
             continue
         if not relay_alive():
             print(f"[queue] relay died before {name}; stopping", file=sys.stderr)
