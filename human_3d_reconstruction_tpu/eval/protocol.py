@@ -72,6 +72,11 @@ class EvalReport:
     # MPI-INF-3DHP protocol metrics (computed over the same stream):
     pck3d_150: float = float("nan")
     auc3d: float = float("nan")
+    # Bridging metric: the r1-r3 LEGACY rooting (LSP-14 joint 0 = right
+    # ankle) scored in the same pass, so any checkpoint's pelvis-rooted
+    # headline stays comparable to the pre-r4 BASELINE history. Never the
+    # headline — published protocols are pelvis-rooted.
+    mpjpe_ankle_rooted_mm: float = float("nan")
 
     def to_json(self) -> str:
         return json.dumps(
@@ -80,6 +85,7 @@ class EvalReport:
                 "pa_mpjpe_mm": self.pa_mpjpe_mm,
                 "pck3d_150": self.pck3d_150,
                 "auc3d": self.auc3d,
+                "mpjpe_ankle_rooted_mm": self.mpjpe_ankle_rooted_mm,
                 "per_action": self.per_action,
                 "num_frames": self.num_frames,
             },
@@ -100,6 +106,10 @@ class EvalReport:
         )
         lines.append(
             f"3DHP protocol: PCK3D@150mm {self.pck3d_150:.3f}  AUC {self.auc3d:.3f}"
+        )
+        lines.append(
+            "bridge (legacy r1-r3 ankle rooting): MPJPE "
+            f"{self.mpjpe_ankle_rooted_mm:.1f} mm"
         )
         return "\n".join(lines)
 
@@ -125,6 +135,7 @@ def run_protocol(
     wants_batch = "batch" in inspect.signature(predict_joints).parameters
     per_action_err: dict[int, list[tuple[float, float, int]]] = {}
     all_joint_errs: list[np.ndarray] = []
+    all_ankle: list[float] = []
     total_frames = 0
 
     # Per-sample device metric fns (jitted once; shapes are static per batch).
@@ -142,6 +153,8 @@ def run_protocol(
                 mpjpe(p_pel[None], g_pel[None], root_index=None) * 1000.0,
                 pa_mpjpe(p[None], g[None]) * 1000.0,
                 joint_errors_mm(p_pel, g_pel, root_index=None),  # (K,) -> 3DHP
+                # legacy ankle rooting (joint 0) — the bridging metric only
+                mpjpe(p[None], g[None], root_index=0) * 1000.0,
             )
 
         return jax.vmap(one)(pred, gt)
@@ -157,13 +170,14 @@ def run_protocol(
             pred.shape,
             gt.shape,
         )
-        e_mpjpe, e_pa, e_joints = jax.device_get(score(pred, gt))
+        e_mpjpe, e_pa, e_joints, e_ankle = jax.device_get(score(pred, gt))
         n = len(batch.actions) if batch.n_valid is None else batch.n_valid
         for i, act in enumerate(batch.actions[:n]):
             per_action_err.setdefault(int(act), []).append(
                 (float(e_mpjpe[i]), float(e_pa[i]), 1)
             )
         all_joint_errs.append(np.asarray(e_joints[:n]))
+        all_ankle.extend(float(x) for x in e_ankle[:n])
         total_frames += n
 
     per_action = {}
@@ -189,6 +203,9 @@ def run_protocol(
         num_frames=total_frames,
         pck3d_150=pck,
         auc3d=auc,
+        mpjpe_ankle_rooted_mm=(
+            float(np.mean(all_ankle)) if all_ankle else float("nan")
+        ),
     )
     if report_path is not None:
         Path(report_path).write_text(report.to_json())

@@ -76,6 +76,12 @@ class TestProtocol:
         report = run_protocol(biased, iter(batches))
         np.testing.assert_allclose(report.mpjpe_mm, 10.0 / 14.0, rtol=1e-4)
         assert 0.1 < report.pa_mpjpe_mm < 20.0
+        # Bridging metric: under the LEGACY ankle rooting the same bias
+        # lands on the ROOT joint, so all 13 non-root joints shift by
+        # 10 mm and the rooted joint-0 error is 0: MPJPE = 130/14 mm.
+        np.testing.assert_allclose(
+            report.mpjpe_ankle_rooted_mm, 130.0 / 14.0, rtol=1e-4
+        )
 
     def test_report_table_and_json(self, smpl_model, tmp_path):
         batches = list(synthetic_eval_batches(smpl_model, num_batches=1, batch_size=4))
@@ -86,8 +92,10 @@ class TestProtocol:
         )
         table = report.table()
         assert "ALL" in table and "MPJPE" in table
+        assert "bridge" in table
         blob = json.loads((tmp_path / "r.json").read_text())
         assert "per_action" in blob
+        assert "mpjpe_ankle_rooted_mm" in blob
 
 
 class TestConverters:
