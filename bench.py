@@ -77,7 +77,14 @@ def main() -> None:
     # exact reparameterizations, equivalence-tested in tests/test_models.py).
     from human_3d_reconstruction_tpu.models.hmr import optimize_for_serving
 
-    train_config = HMRConfig(encoder_dtype=jnp.bfloat16)
+    encoder = "resnet50"
+    if "--encoder" in sys.argv:
+        # Opt-in encoder swap (e.g. vit_s16): measures the same fused
+        # image->mesh program with a different backbone. The stdout
+        # contract is unchanged; the headline default stays resnet50.
+        encoder = sys.argv[sys.argv.index("--encoder") + 1]
+        log(f"encoder: {encoder}")
+    train_config = HMRConfig(encoder=encoder, encoder_dtype=jnp.bfloat16)
     train_model = HMRModel(config=train_config)
     trained_vars = train_model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
     if "--int8" in sys.argv or "--int8-static" in sys.argv:
@@ -102,9 +109,13 @@ def main() -> None:
             )
             variables = calibrate_activation_scales(model, variables, calib)
         log(f"encoder: int8 W8A8 ({'static' if static else 'dynamic'} act scales)")
-    else:
+    elif encoder.startswith("resnet"):
         serve_config, variables = optimize_for_serving(train_config, trained_vars)
         model = HMRModel(config=serve_config)
+    else:
+        # ViT/hourglass: no BN to fold, no stem to rewrite — the training
+        # graph IS the serving graph.
+        model, variables = train_model, trained_vars
     smpl_params = prepare_fused_smpl(smpl_model.as_dict())
     from human_3d_reconstruction_tpu.api import make_recover_from_frames
 
