@@ -75,6 +75,8 @@ def main() -> None:
     ap.add_argument("--iou", type=float, default=0.3)
     ap.add_argument("--frame", default="384x512")
     ap.add_argument("--scale", type=float, default=90.0)
+    ap.add_argument("--split", action="store_true",
+                    help="A/B arm: split_merged=True in the proposer")
     ap.add_argument("--force_cpu", action="store_true")
     args = ap.parse_args()
 
@@ -161,7 +163,10 @@ def main() -> None:
             t0 = time.time()
             for s in range(args.scenes):
                 frame, truth = composite_scene(rng, n, sep, key=1000 + s)
-                boxes = propose_person_boxes_np(frame, max_people=max(8, n + 2))
+                boxes = propose_person_boxes_np(
+                    frame, max_people=max(8, n + 2),
+                    split_merged=args.split,
+                )
                 # Greedy GT->proposal match, best IoU first.
                 pairs = sorted(
                     (

@@ -156,7 +156,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # adversarial trajectory is already on disk from the r3 runs and the
     # gen_40k log covers the same recipe's early steps.
     (
-        "gen_prior_8k", 7200,
+        "gen_prior_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
          "--no_adversarial", "--pose_prior",
@@ -165,14 +165,14 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # SPIN keypoints-only A/B (queue item 9c): both arms drop the SMPL
     # param GT; the spin arm adds the in-graph SMPLify pseudo-GT.
     (
-        "gen_nogt_8k", 7200,
+        "gen_nogt_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
          "--no_smpl_gt",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_nogt")], False,
     ),
     (
-        "gen_spin_8k", 7200,
+        "gen_spin_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
          "--no_smpl_gt", "--spin_steps", "10",
@@ -181,7 +181,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # rot6d vs axis-angle IEF stream (queue item 9b): the aa arm is the
     # gen_40k trajectory's first 8k steps; one rot6d arm suffices.
     (
-        "gen_rot6d_8k", 7200,
+        "gen_rot6d_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
          "--rot_rep", "rot6d",

@@ -37,7 +37,10 @@ __all__ = ["propose_person_boxes", "propose_person_boxes_np"]
 
 @partial(
     jax.jit,
-    static_argnames=("max_people", "grid", "iters", "thresh_k", "min_mass_cells"),
+    static_argnames=(
+        "max_people", "grid", "iters", "thresh_k", "min_mass_cells",
+        "split_merged", "split_aniso",
+    ),
 )
 def propose_person_boxes(
     frame: jax.Array,
@@ -46,6 +49,8 @@ def propose_person_boxes(
     iters: int = 48,
     thresh_k: float = 1.0,
     min_mass_cells: int = 20,
+    split_merged: bool = False,
+    split_aniso: float = 1.25,
 ):
     """Propose up to `max_people` person boxes from an (H, W, 3) frame.
 
@@ -64,6 +69,15 @@ def propose_person_boxes(
             frames produce at this threshold (measured: 0.8 std / 6 cells
             proposed several phantom boxes on uniform noise) while keeping
             even a far person (~60 px box = ~28 cells at grid=8).
+        split_merged: split strongly-anisotropic components into two boxes
+            along the major axis. The r5 on-chip characterization
+            (benchmarks/bench_proposal.py) measured adjacent-person MERGING
+            as the dominant failure (recall 0.77-0.83 in the overlap
+            regime, precision 1.0, merged_misses ~= the missed bodies);
+            a merged blob of two bodies is wide where a single body is
+            tall, so axis anisotropy separates the cases from the
+            second-moment stats alone — no extra image passes, no gathers.
+        split_aniso: split when sqrt(var_major/var_minor) exceeds this.
 
     Returns:
         boxes: (max_people, 3) float32 [cx, cy, scale] in pixels; slots
@@ -137,20 +151,68 @@ def propose_person_boxes(
     sel = seg[top_idx]  # (k, 5)
     m = jnp.maximum(sel[:, 0], 1.0)
     cx, cy = sel[:, 1] / m, sel[:, 2] / m
-    var = (sel[:, 3] / m - cx**2) + (sel[:, 4] / m - cy**2)  # x-var + y-var
+    var_x = jnp.maximum(sel[:, 3] / m - cx**2, 0.0)
+    var_y = jnp.maximum(sel[:, 4] / m - cy**2, 0.0)
+    var = var_x + var_y
     # 2D second moment -> box size: ~2.4 sigma per side covers the blob,
     # *grid back to pixels, floored so a head-sized blob still crops sanely.
     scale = jnp.clip(2.4 * jnp.sqrt(jnp.maximum(var, 0.25)) * grid * 2.0,
                      0.15 * min(H, W), 1.2 * min(H, W))
-    boxes = jnp.stack(
-        [(cx + 0.5) * grid, (cy + 0.5) * grid, scale], axis=1
-    )
     fallback = jnp.asarray([W / 2.0, H / 2.0, 0.9 * min(H, W)], jnp.float32)
-    boxes = jnp.where(valid[:, None], boxes, fallback[None])
-    if k < max_people:
-        boxes = jnp.concatenate(
-            [boxes, jnp.tile(fallback[None], (max_people - k, 1))]
+
+    if not split_merged:
+        boxes = jnp.stack(
+            [(cx + 0.5) * grid, (cy + 0.5) * grid, scale], axis=1
         )
+        boxes = jnp.where(valid[:, None], boxes, fallback[None])
+        if k < max_people:
+            boxes = jnp.concatenate(
+                [boxes, jnp.tile(fallback[None], (max_people - k, 1))]
+            )
+        return boxes.astype(jnp.float32), n
+
+    # Merge splitting, HORIZONTAL axis only: a standing body is itself
+    # strongly TALL (sd_y ~ 3x sd_x in the cell stats), so any-axis
+    # anisotropy would shred singles vertically; the measured failure mode
+    # is side-by-side people. A component WIDER than tall by > split_aniso
+    # is re-read as TWO bodies at cx -+ sd_x (for two equal clusters at
+    # distance d the mixture adds d^2/4 to var_x, so sd_x lands on the
+    # cluster centers when intra-cluster spread is small). Split-box size
+    # comes from the per-body extent proxy 2*var_y (each body's own height
+    # still dominates its size). Bodies lying down will falsely split —
+    # documented limitation of the bring-up proposer.
+    sd_x = jnp.sqrt(jnp.maximum(var_x, 0.25))
+    sd_y = jnp.sqrt(jnp.maximum(var_y, 0.25))
+    split = valid & (sd_x > split_aniso * sd_y)
+    scale_split = jnp.clip(
+        2.4 * jnp.sqrt(2.0 * jnp.maximum(var_y, 0.25)) * grid * 2.0,
+        0.15 * min(H, W), 1.2 * min(H, W),
+    )
+    cx_px, cy_px = (cx + 0.5) * grid, (cy + 0.5) * grid
+    prim = jnp.stack(
+        [
+            jnp.where(split, cx_px - sd_x * grid, cx_px),
+            cy_px,
+            jnp.where(split, scale_split, scale),
+        ],
+        axis=1,
+    )
+    sec = jnp.stack([cx_px + sd_x * grid, cy_px, scale_split], axis=1)
+    cand = jnp.concatenate([prim, sec])                      # (2k, 3)
+    cand_valid = jnp.concatenate([valid, split])
+    # Rank: each secondary immediately after its primary (mass*(1-eps)).
+    rank = jnp.concatenate([top_mass, top_mass * 0.999])
+    if cand.shape[0] < max_people:  # tiny-lattice edge: pad for top_k
+        pad = max_people - cand.shape[0]
+        cand = jnp.concatenate([cand, jnp.tile(fallback[None], (pad, 1))])
+        cand_valid = jnp.concatenate([cand_valid, jnp.zeros((pad,), bool)])
+        rank = jnp.concatenate([rank, jnp.full((pad,), -1.0)])
+    rank = jnp.where(cand_valid, rank, -1.0)
+    _, order = jax.lax.top_k(rank, max_people)               # tiny lane axis
+    boxes = cand[order]
+    picked = rank[order] >= 0.0
+    n = picked.sum().astype(jnp.int32)
+    boxes = jnp.where(picked[:, None], boxes, fallback[None])
     return boxes.astype(jnp.float32), n
 
 

@@ -94,3 +94,58 @@ class TestProposal:
         frame = np.random.default_rng(0).uniform(0, 255, (96, 128, 3)).astype(np.float32)
         boxes = propose_person_boxes_np(frame)
         assert len(boxes) >= 1 and np.isfinite(boxes).all()
+
+
+def _two_blob_frame(gap_px=0, blob=48, H=160, W=256):
+    """Two touching textured squares -> ONE connected component, twice as
+    wide as tall: the deterministic stand-in for an adjacent-person merge."""
+    rng = np.random.default_rng(3)
+    frame = np.full((H, W, 3), 128, np.float32)
+    y0 = H // 2 - blob // 2
+    x0 = W // 2 - blob - gap_px // 2
+    for x in (x0, x0 + blob + gap_px):
+        frame[y0 : y0 + blob, x : x + blob] = rng.uniform(
+            0, 255, (blob, blob, 3)
+        )
+    centers = np.asarray(
+        [[x0 + blob / 2, H / 2], [x0 + blob + gap_px + blob / 2, H / 2]]
+    )
+    return frame.astype(np.uint8), centers
+
+
+class TestMergeSplit:
+    def test_merged_component_splits_into_two(self):
+        frame, truth = _two_blob_frame()
+        plain = propose_person_boxes_np(frame, max_people=4)
+        split = propose_person_boxes_np(frame, max_people=4, split_merged=True)
+        # Without splitting the touching blobs form one wide box.
+        assert len(plain) == 1
+        assert len(split) == 2
+        # Each blob center gets a nearby split box (within half a blob).
+        for c in truth:
+            d = np.linalg.norm(split[:, :2] - c, axis=1)
+            assert d.min() < 24.0, (split, c)
+        # Split boxes are blob-sized, not double-wide.
+        assert (split[:, 2] < plain[0, 2]).all()
+
+    def test_tall_single_component_not_split(self):
+        """A standing person is TALL (sd_y ~ 3x sd_x): the split rule is
+        horizontal-only exactly so singles don't get shredded vertically."""
+        rng = np.random.default_rng(5)
+        frame = np.full((224, 256, 3), 128, np.float32)
+        frame[40:184, 112:160] = rng.uniform(0, 255, (144, 48, 3))  # 3:1 tall
+        frame = frame.astype(np.uint8)
+        split = propose_person_boxes_np(frame, max_people=4, split_merged=True)
+        assert len(split) == 1, split
+
+    def test_single_compact_component_not_split(self):
+        """An isotropic single blob must survive split_merged unsplit —
+        the precision-1.0 property the characterization measured."""
+        rng = np.random.default_rng(4)
+        frame = np.full((160, 256, 3), 128, np.float32)
+        frame[56:104, 104:152] = rng.uniform(0, 255, (48, 48, 3))
+        frame = frame.astype(np.uint8)
+        plain = propose_person_boxes_np(frame, max_people=4)
+        split = propose_person_boxes_np(frame, max_people=4, split_merged=True)
+        assert len(plain) == len(split) == 1
+        np.testing.assert_allclose(split[0], plain[0], rtol=1e-5)
