@@ -83,6 +83,15 @@ def main() -> None:
                     help="rotation aug: one shared angle/step (batch) or "
                          "per-sample angles on an 8-point grid (bucket)")
     ap.add_argument("--echo", type=int, default=1, help="data echo factor")
+    ap.add_argument("--device_bank", action="store_true",
+                    help="keep the uint8 frame bank HBM-resident and gather "
+                         "each batch ON DEVICE (H2D per step = 64 int32 "
+                         "indices). Exact stream emulation of the host feed "
+                         "(same index rng, echo repeats the draw), so "
+                         "trajectories stay comparable across feed modes. "
+                         "For synthetic-protocol banks that fit HBM "
+                         "(8192 frames = 1.2 GB); real datasets keep the "
+                         "host path.")
     ap.add_argument("--out", default="/tmp/gen_run")
     ap.add_argument("--save_checkpoint", action="store_true",
                     help="Orbax-save the trained generator (+ the mean-params"
@@ -266,9 +275,50 @@ def main() -> None:
                 "has_smpl": np.zeros_like(ones) if args.no_smpl_gt else ones,
             }
 
-    batches = device_prefetch(batch_stream())
-    if args.echo > 1:
-        batches = echo_batches(batches, args.echo)
+    if args.device_bank:
+        # HBM-resident epoch: the bank IS the dataset (a pure function of
+        # the poses), so park it on device once and gather each batch there
+        # — the per-step H2D drops from ~10 MB of frames to 64 int32
+        # indices. On this ~30 MB/s tunneled host that is the difference
+        # between feed-bound (~600-800 img/s effective) and step-bound
+        # (~2k img/s). The index sequence and echo grouping replicate the
+        # host feed exactly (same rng seed, echo repeats the draw), so the
+        # trained trajectory is comparable across feed modes.
+        dev_bank = {
+            "images": jnp.asarray(bank),
+            "centers": jnp.asarray(train_ds.centers),
+            "scales": jnp.asarray(train_ds.scales),
+            "kp2d": jnp.asarray(kp_bank),
+            "joints3d": jnp.asarray(train_ds.joints3d.astype(np.float32)),
+            "theta": jnp.asarray(train_ds.thetas),
+            "beta": jnp.asarray(train_ds.betas),
+        }
+        ones_d = jnp.ones((args.batch,), jnp.float32)
+        has_smpl_d = jnp.zeros_like(ones_d) if args.no_smpl_gt else ones_d
+
+        @jax.jit
+        def gather_batch(idx):
+            b = {k: jnp.take(v, idx, axis=0) for k, v in dev_bank.items()}
+            b["has_3d"] = ones_d
+            b["has_smpl"] = has_smpl_d
+            return b
+
+        def device_stream():
+            rng_b = np.random.default_rng(1)
+            while True:
+                idx = jnp.asarray(
+                    rng_b.integers(0, args.train_size, args.batch)
+                )
+                g = gather_batch(idx)
+                for _ in range(args.echo):
+                    yield g
+
+        batches = device_stream()
+        echo(f"device bank: {bank.nbytes / 1e9:.1f} GB HBM-resident")
+    else:
+        batches = device_prefetch(batch_stream())
+        if args.echo > 1:
+            batches = echo_batches(batches, args.echo)
 
     # --- one-program val scorer (images stream as uint8) ----------------
     @jax.jit

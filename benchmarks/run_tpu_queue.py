@@ -158,7 +158,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     (
         "gen_prior_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--no_adversarial", "--pose_prior",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_prior")], False,
     ),
@@ -167,14 +167,14 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     (
         "gen_nogt_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--no_smpl_gt",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_nogt")], False,
     ),
     (
         "gen_spin_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--no_smpl_gt", "--spin_steps", "10",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_spin")], False,
     ),
@@ -183,7 +183,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     (
         "gen_rot6d_8k", 6300,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON,
+         "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--rot_rep", "rot6d",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_rot6d")], False,
     ),
@@ -194,7 +194,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     (
         "gen_mesh_12k", 14400,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "12000", "--eval_every", "2000", *GEN_COMMON,
+         "--steps", "12000", "--eval_every", "2000", *GEN_COMMON, "--device_bank",
          "--protocol", "mesh", "--save_checkpoint", "--export_val",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_mesh")], False,
     ),
