@@ -96,6 +96,16 @@ def main() -> None:
     ap.add_argument("--save_checkpoint", action="store_true",
                     help="Orbax-save the trained generator (+ the mean-params"
                          " seed) to <out>/ckpt for the inference CLIs")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the newest <out>/ckpt step and continue to"
+                         " --steps (requires --save_checkpoint). The batch"
+                         " index rng restarts, so the post-resume draw order"
+                         " differs from an uninterrupted run; the optimizer"
+                         " state (incl. the cosine schedule count) and the"
+                         " best-val tracker (re-seeded from log.jsonl) carry"
+                         " over. Exists because session deaths mid-40k-run"
+                         " are a fact of life here (r3 relay death, r5"
+                         " session restart at step 28000).")
     ap.add_argument("--export_val", action="store_true",
                     help="write the val split to <out>/val/ as PNGs + an"
                          " h36m-style npz index so cli.eval can score the"
@@ -131,7 +141,8 @@ def main() -> None:
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     log_path = out_dir / "log.jsonl"
-    log_path.write_text("")
+    if not args.resume:
+        log_path.write_text("")
 
     def echo(msg):
         print(msg, file=sys.stderr, flush=True)
@@ -376,13 +387,45 @@ def main() -> None:
         save_mean_params(mean_params_file(ckpt_dir), mean)
         echo(f"checkpointing every eval to {ckpt_dir} (best at {ckpt_dir}/best)")
 
+    start_step = 0
+    if args.resume:
+        if mgr is None:
+            raise SystemExit("--resume requires --save_checkpoint")
+        from human_3d_reconstruction_tpu.train.trainer import restore_latest
+
+        gen, disc, start_step = restore_latest(mgr, gen, disc)
+        echo(f"resumed from checkpoint step {start_step}"
+             if start_step else "resume requested but no checkpoint yet — "
+             "starting fresh")
+
     best = float("inf")
     best_step = 0
     since_best = 0
+    if start_step and log_path.exists():
+        # Replay the best-val tracker over the logged history (and drop any
+        # rows past the restored step — normally none, since a checkpoint
+        # lands at every eval point, but a death between the log append and
+        # the save would leave one).
+        kept = []
+        for line in log_path.read_text().splitlines():
+            if not line:
+                continue
+            row = json.loads(line)
+            if row["step"] > start_step:
+                continue
+            kept.append(line)
+            if row["val_mpjpe_mm"] < best - 0.5:
+                best, best_step, since_best = row["val_mpjpe_mm"], row["step"], 0
+            else:
+                since_best += 1
+        log_path.write_text("".join(r + "\n" for r in kept))
+        echo(f"best-val tracker re-seeded: {best:.1f} mm at step {best_step} "
+             f"({since_best} evals since)")
+
     rng_key = jax.random.key(42)
     t_train = time.perf_counter()
     imgs_done = 0
-    step = 0
+    step = start_step
     while step < args.steps:
         batch = next(batches)
         mt, mb = mosh.sample(mosh_rng, args.batch)

@@ -74,7 +74,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
         "gen_40k", 21600,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
-         "--save_checkpoint", "--export_val",
+         "--save_checkpoint", "--export_val", "--resume",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_ckpt")], False,
     ),
     (
