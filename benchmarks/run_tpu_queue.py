@@ -68,6 +68,14 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
         "proposal", 1200,
         [PY, str(REPO / "benchmarks" / "bench_proposal.py")], False,
     ),
+    # r5: the merge-splitting A/B arm (same scenes; split_merged=True).
+    # Added after the first on-chip run showed adjacent-person merging is
+    # ~all of the missed recall; run via `--only proposal_split` if the
+    # long-lived runner predates this entry.
+    (
+        "proposal_split", 1200,
+        [PY, str(REPO / "benchmarks" / "bench_proposal.py"), "--split"], False,
+    ),
     # The flagship: re-earn the r3e 40k checkpoint as a restorable artifact
     # (VERDICT r4 #3). Checkpoints + best-val are written DURING the run.
     (
