@@ -457,14 +457,16 @@ def _finish(results: dict) -> None:
         "pose_aug_invariance_m": 1e-5,  # measured 1.8e-7 on chip
         # 10: bf16 encoder vs f32, random weights — same spirit (and bar
         # family) as serving_rewrite_gap's bf16 reduction-reorder bound.
+        # On-chip 2026-08-19 (tpu_checks_r04.json): 0.0021 — 70x margin.
         "vit_bf16_vs_f32_params": 0.15,
         # 11: the fit optimizes exactly this residual (plus small priors);
-        # 8 steps must not make it worse. Measured on CPU: clearly negative.
+        # 8 steps must not make it worse. On-chip: −1.81 (CPU smoke −2.08).
         "hybrid_residual_delta": 1e-4,
-        # 12: in-pool poses must beat 3-rad-off poses by >= 1 nat (measured
-        # margin is hundreds of nats; the bar only guards sign flips).
+        # 12: in-pool poses must beat 3-rad-off poses by >= 1 nat (the bar
+        # only guards sign flips). On-chip margin −4878 nats.
         "pose_prior_in_minus_out_nll": -1.0,
         # 13: every true body must have a proposal within half its scale.
+        # On-chip: 0.048 (10x margin) after the per-check-rng harness fix.
         "proposal_center_err_frac": 0.5,
     }
     for key, bar in bars.items():
