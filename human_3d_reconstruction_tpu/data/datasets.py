@@ -288,6 +288,8 @@ class SyntheticImageDataset:
         seed: int = 0,
         render_skeleton: bool = False,
         render_mode: str | None = None,
+        thetas: Optional[np.ndarray] = None,
+        betas: Optional[np.ndarray] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -299,10 +301,28 @@ class SyntheticImageDataset:
         if render_mode not in ("noise", "skeleton", "mesh"):
             raise ValueError(f"unknown render_mode {render_mode!r}")
         rng = np.random.default_rng(seed)
+        # Optional explicit pose/shape streams (e.g. a temporally-coherent
+        # motion clip for the smoothing benchmark) — everything downstream
+        # (joints, kp2d, rendering) is already a pure function of them.
+        if thetas is not None:
+            thetas = np.asarray(thetas, np.float32)
+            if thetas.ndim != 2 or thetas.shape[1] != 72:
+                raise ValueError(f"thetas shape {thetas.shape} != (n, 72)")
+            n = len(thetas)
+        if betas is not None:
+            betas = np.asarray(betas, np.float32)
+            if betas.shape != (n, 10):
+                raise ValueError(f"betas shape {betas.shape} != ({n}, 10)")
         self.n = n
         self.frame_hw = frame_hw
-        self.thetas = rng.normal(scale=0.3, size=(n, 72)).astype(np.float32)
-        self.betas = rng.normal(scale=0.8, size=(n, 10)).astype(np.float32)
+        self.thetas = (
+            thetas if thetas is not None
+            else rng.normal(scale=0.3, size=(n, 72)).astype(np.float32)
+        )
+        self.betas = (
+            betas if betas is not None
+            else rng.normal(scale=0.8, size=(n, 10)).astype(np.float32)
+        )
         params = {k: jnp.asarray(v) for k, v in smpl_model.as_dict().items()}
         # jit: eager dispatch of the many small SMPL ops costs minutes over
         # a high-latency device tunnel; one compiled call is a single trip.

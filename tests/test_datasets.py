@@ -53,6 +53,34 @@ class TestSynthetic:
         np.testing.assert_array_equal(a.image, b.image)
         np.testing.assert_array_equal(a.theta, b.theta)
 
+    def test_explicit_theta_beta_streams(self, smpl_model):
+        """The bench_smoothing clip path: caller-supplied (theta, beta)
+        streams drive joints/kp2d/rendering exactly like sampled ones."""
+        rng = np.random.default_rng(0)
+        thetas = rng.normal(scale=0.3, size=(3, 72)).astype(np.float32)
+        betas = rng.normal(scale=0.8, size=(3, 10)).astype(np.float32)
+        ds = SyntheticImageDataset(
+            smpl_model, frame_hw=(64, 64), seed=0,
+            render_mode="skeleton", thetas=thetas, betas=betas,
+        )
+        assert len(ds) == 3
+        r = ds[1]
+        np.testing.assert_array_equal(r.theta, thetas[1])
+        np.testing.assert_array_equal(r.beta, betas[1])
+        # Same (theta, beta) index through the sampled-constructor path must
+        # give identical joints: overriding the streams changes nothing else.
+        ds2 = SyntheticImageDataset(
+            smpl_model, frame_hw=(64, 64), seed=0,
+            render_mode="skeleton", thetas=thetas[1:2], betas=betas[1:2],
+        )
+        np.testing.assert_allclose(ds2[0].joints3d, r.joints3d, atol=1e-6)
+        import pytest
+
+        with pytest.raises(ValueError):
+            SyntheticImageDataset(smpl_model, thetas=thetas[:, :5])
+        with pytest.raises(ValueError):
+            SyntheticImageDataset(smpl_model, thetas=thetas, betas=betas[:2])
+
 
 class TestCollateAndLoader:
     def test_collate_pads_to_max(self, smpl_model):
