@@ -112,6 +112,16 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--out=" + str(REPO / "benchmarks" / "results" / "demo_overlay_r4.png")],
         False,
     ),
+    # r5: smoothing accuracy payoff on the trained checkpoint (One-Euro vs
+    # temporal bundle vs raw, GT motion clip) — VERDICT r4 Missing #3's
+    # "clip bundle smoothing" row. Run via `--only smoothing` if the
+    # long-lived runner predates this entry.
+    (
+        "smoothing", 1800,
+        [PY, str(REPO / "benchmarks" / "bench_smoothing.py"),
+         "--checkpoint", str(REPO / "benchmarks" / "results" / "gen_r4_ckpt" / "ckpt")],
+        False,
+    ),
     # Keypoint-head training + self-refine delta (queue item 9, 8k steps).
     (
         "gen_kp_8k", 7200,
