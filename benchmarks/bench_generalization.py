@@ -222,6 +222,9 @@ def main() -> None:
              f"{time.perf_counter() - t0:.1f}s "
              f"(K={pose_prior.means.shape[0]}, w={args.pose_prior_weight})")
     mean = mean_params_from_pool(train_ds.thetas, train_ds.betas)
+    from human_3d_reconstruction_tpu.train.trainer import gate_flip_aug
+
+    config = gate_flip_aug(config, smpl_model.as_dict(), echo=echo)
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
         config, jax.random.key(0), smpl_model.as_dict(), mean_params=mean
     )

@@ -218,6 +218,21 @@ def main(argv: list[str]) -> None:
         from human_3d_reconstruction_tpu.eval.protocol import unflip_joints3d
 
         echo("flip-averaged eval ON (2x predictor FLOPs, one program)")
+        # Flip averaging assumes a mirror-symmetric body template (real
+        # SMPL). On an asymmetric one the mirrored branch is out-of-model
+        # — measured 461 mm vs the direct branch's 56 mm on the synthetic
+        # stand-in — so warn loudly instead of silently averaging it in.
+        from human_3d_reconstruction_tpu.smpl.pose_aug import (
+            template_mirror_error,
+        )
+
+        _tme = template_mirror_error(smpl_params)
+        if _tme > 0.03:
+            echo(
+                f"WARNING: body template mirror residual {_tme:.3f} m > "
+                "0.03 m — flip averaging will DEGRADE results on this "
+                "template (see smpl/pose_aug.py::template_mirror_error)"
+            )
 
         @jax.jit
         def flip_avg_predict(variables, images, centers, scales):

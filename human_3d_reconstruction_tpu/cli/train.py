@@ -119,6 +119,9 @@ def main(argv: list[str]) -> None:
     if train_cfg.lr_schedule and train_cfg.lr_decay_steps == 0:
         train_cfg = dataclasses.replace(train_cfg, lr_decay_steps=config.total_steps)
         echo(f"lr_schedule={train_cfg.lr_schedule} over {config.total_steps} steps")
+    from human_3d_reconstruction_tpu.train.trainer import gate_flip_aug
+
+    train_cfg = gate_flip_aug(train_cfg, smpl_model.as_dict(), echo=echo)
     gen, disc, model, disc_mod, g_tx, d_tx = create_states(
         train_cfg, jax.random.key(config.seed), smpl_model.as_dict(),
         mean_params=mean_params,

@@ -207,6 +207,7 @@ def load_smpl_model(path: str | Path) -> SMPLModel:
 def synthetic_smpl_model(
     seed: int = 0,
     num_eval_joints: int = 19,
+    symmetric: bool = False,
 ) -> SMPLModel:
     """Deterministic, schema-exact synthetic SMPL model.
 
@@ -218,6 +219,25 @@ def synthetic_smpl_model(
     - skinning weights are spatially smooth, sparse (<=4 joints/vertex),
       rows sum to 1,
     - blendshape bases have cm-scale effect per unit coefficient.
+
+    ``symmetric=True`` additionally makes the body bilaterally symmetric —
+    the property real SMPL has (to ~mm) and every flip feature in the stack
+    depends on (`smpl.pose_aug.flip_pose` theta GT, the trainer's mirrored
+    kp2d/j3d targets, `eval.protocol.unflip_joints3d` flip-averaged eval):
+
+    - mirrored vertex clusters (pair i <-> i + V/2 with x negated),
+    - J_regressor / skinning weights / blendshapes averaged with their
+      mirror image (posedirs through the exact (R-I)-feature conjugation
+      map, so pose-corrective offsets are mirror-EQUIVARIANT),
+    - the eval joint regressor targets the LSP-14 SEMANTIC skeleton
+      (r_ankle at the right ankle, ...) with mirror-paired noise, so
+      `data.skeleton.LSP_FLIP_MAP` is geometrically correct.
+
+    The default stays asymmetric: committed round-artifacts (checkpoints,
+    eval indices, golden numbers) were produced with it. On the asymmetric
+    model, flip supervision targets are unreachable — training gates flip
+    aug off via `train.trainer.gate_flip_aug` (measured: a 40k run with
+    flip aug on this template served 56 mm direct but 461 mm mirrored).
     """
     rng = np.random.default_rng(seed)
     V, J, B, P = NUM_VERTS, NUM_JOINTS, NUM_BETAS, NUM_POSE_DIRS
@@ -253,15 +273,36 @@ def synthetic_smpl_model(
         dtype=np.float32,
     )
 
-    # Vertices: each joint owns a cluster of surface points around a bone.
-    verts_per_joint = V // J  # 287, remainder goes to the root
-    owner = np.repeat(np.arange(J), verts_per_joint)
-    owner = np.concatenate([owner, np.zeros(V - owner.size, dtype=np.int64)])
-    rng.shuffle(owner)
-    radius = rng.uniform(0.03, 0.12, size=(V, 1)).astype(np.float32)
-    direction = rng.normal(size=(V, 3)).astype(np.float32)
-    direction /= np.linalg.norm(direction, axis=1, keepdims=True) + 1e-8
-    v_template = rest_joints[owner] + radius * direction
+    mirror3 = np.array([-1.0, 1.0, 1.0], dtype=np.float32)
+    if symmetric:
+        # Half the cloud is drawn, the other half is its exact x-mirror
+        # (vertex pairing i <-> i + V2; rest_joints is mirror-exact under
+        # the SMPL joint permutation by construction of the table above).
+        from human_3d_reconstruction_tpu.smpl.pose_aug import SMPL_POSE_FLIP_PERM
+
+        V2 = V // 2
+        owner_half = np.repeat(np.arange(J), V2 // J)
+        owner_half = np.concatenate(
+            [owner_half, np.zeros(V2 - owner_half.size, dtype=np.int64)]
+        )
+        rng.shuffle(owner_half)
+        radius = rng.uniform(0.03, 0.12, size=(V2, 1)).astype(np.float32)
+        direction = rng.normal(size=(V2, 3)).astype(np.float32)
+        direction /= np.linalg.norm(direction, axis=1, keepdims=True) + 1e-8
+        v_half = rest_joints[owner_half] + radius * direction
+        v_template = np.concatenate([v_half, v_half * mirror3])
+        # Involution over vertices: pair(i) = i +- V2.
+        vperm = np.concatenate([np.arange(V2) + V2, np.arange(V2)])
+    else:
+        # Vertices: each joint owns a cluster of surface points around a bone.
+        verts_per_joint = V // J  # 287, remainder goes to the root
+        owner = np.repeat(np.arange(J), verts_per_joint)
+        owner = np.concatenate([owner, np.zeros(V - owner.size, dtype=np.int64)])
+        rng.shuffle(owner)
+        radius = rng.uniform(0.03, 0.12, size=(V, 1)).astype(np.float32)
+        direction = rng.normal(size=(V, 3)).astype(np.float32)
+        direction /= np.linalg.norm(direction, axis=1, keepdims=True) + 1e-8
+        v_template = rest_joints[owner] + radius * direction
 
     # J_regressor: convex weights over the 32 nearest template verts per joint.
     J_regressor = np.zeros((J, V), dtype=np.float32)
@@ -299,6 +340,37 @@ def synthetic_smpl_model(
     shapedirs = smooth_basis(B, 0.01)
     posedirs = smooth_basis(P, 0.001)
 
+    if symmetric:
+        # Symmetrize every learned-table analog by averaging with its exact
+        # mirror image — each transform below is an involution, so the
+        # average is the projection onto the symmetric subspace (convexity
+        # and row sums are preserved).
+        jperm = np.asarray(SMPL_POSE_FLIP_PERM, dtype=np.int64)
+        # J_regressor[j, v]: want row(perm(j)) == row(j) over paired verts.
+        J_regressor = 0.5 * (J_regressor + J_regressor[jperm][:, vperm])
+        # Skinning weights[v, j].
+        weights = 0.5 * (weights + weights[vperm][:, jperm])
+        # Shape blendshapes: displacement mirrors with the SAME beta
+        # (real SMPL's betas are side-agnostic too).
+        shapedirs = 0.5 * (shapedirs + shapedirs[vperm] * mirror3[None, :, None])
+        # Pose blendshapes: mirror-EQUIVARIANT under the (R - I) feature
+        # conjugation R' = M R M (entry signs s_a * s_b, s = (-1, 1, 1))
+        # plus the joint permutation — matches smpl_forward's joint-major
+        # row-major pose_feature layout (forward.py:202).
+        s3 = np.array([-1.0, 1.0, 1.0], dtype=np.float32)
+        fperm = np.empty(P, dtype=np.int64)
+        fsign = np.empty(P, dtype=np.float32)
+        for j in range(1, J):
+            for a in range(3):
+                for b in range(3):
+                    f = (j - 1) * 9 + a * 3 + b
+                    fperm[f] = (jperm[j] - 1) * 9 + a * 3 + b
+                    fsign[f] = s3[a] * s3[b]
+        pd_mirror = (posedirs[vperm] * mirror3[None, :, None] * fsign[None, None, :])[
+            :, :, fperm
+        ]
+        posedirs = 0.5 * (posedirs + pd_mirror)
+
     # Faces: triangles over nearest-neighbor triples (valid indices; used by
     # the rasterizer tests, not by the forward math).
     idx = rng.integers(0, V, size=(NUM_FACES, 1))
@@ -309,12 +381,49 @@ def synthetic_smpl_model(
 
     # Eval joint regressor (cocoplus-19 style): sparse convex rows.
     joint_regressor = np.zeros((num_eval_joints, V), dtype=np.float32)
-    for k in range(num_eval_joints):
-        target = rest_joints[k % J] + rng.normal(scale=0.02, size=3)
-        d = np.linalg.norm(v_template - target, axis=1)
-        nearest = np.argsort(d)[:16]
-        w = np.exp(-d[nearest] / 0.02)
-        joint_regressor[k, nearest] = w / w.sum()
+    if symmetric:
+        # LSP-14 SEMANTIC targets (r_ankle, r_knee, r_hip, l_hip, l_knee,
+        # l_ankle, r_wrist, r_elbow, r_shoulder, l_shoulder, l_elbow,
+        # l_wrist, neck, head_top) mapped onto the SMPL skeleton, noise
+        # mirror-paired so LSP_FLIP_MAP is geometrically exact; extra
+        # cocoplus joints (nose/eyes/ears stand-ins) sit on the head
+        # midline. The default mode's `k % J` targets carry NO left/right
+        # semantics — self-consistent for training/eval, but mirrors map
+        # pelvis onto r_knee there (the round-5 flip-aug finding).
+        from human_3d_reconstruction_tpu.data.skeleton import LSP_FLIP_MAP
+
+        lsp_to_smpl = np.array(
+            [8, 5, 2, 1, 4, 7, 21, 19, 17, 16, 18, 20, 12, 15], dtype=np.int64
+        )
+        targets = np.zeros((num_eval_joints, 3), dtype=np.float32)
+        noise = rng.normal(scale=0.02, size=(num_eval_joints, 3)).astype(np.float32)
+        for k in range(14):
+            m = int(LSP_FLIP_MAP[k])
+            if m == k:  # midline joints: noise constrained to the x=0 plane
+                noise[k, 0] = 0.0
+            elif m < k:  # left member: exact mirror of the right's noise
+                noise[k] = noise[m] * mirror3
+            targets[k] = rest_joints[lsp_to_smpl[k]] + noise[k]
+        for k in range(14, num_eval_joints):
+            noise[k, 0] = 0.0
+            targets[k] = rest_joints[15] + noise[k]  # head midline
+        for k in range(num_eval_joints):
+            d = np.linalg.norm(v_template - targets[k], axis=1)
+            nearest = np.argsort(d)[:16]
+            w = np.exp(-d[nearest] / 0.02)
+            joint_regressor[k, nearest] = w / w.sum()
+        eperm = np.concatenate(
+            [np.asarray(LSP_FLIP_MAP, dtype=np.int64),
+             np.arange(14, num_eval_joints)]
+        )
+        joint_regressor = 0.5 * (joint_regressor + joint_regressor[eperm][:, vperm])
+    else:
+        for k in range(num_eval_joints):
+            target = rest_joints[k % J] + rng.normal(scale=0.02, size=3)
+            d = np.linalg.norm(v_template - target, axis=1)
+            nearest = np.argsort(d)[:16]
+            w = np.exp(-d[nearest] / 0.02)
+            joint_regressor[k, nearest] = w / w.sum()
 
     return SMPLModel(
         v_template=v_template,

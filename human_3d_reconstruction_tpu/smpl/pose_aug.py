@@ -128,6 +128,39 @@ def rotate_root_pose(theta: jax.Array, rot: jax.Array) -> jax.Array:
     return t.reshape(*theta.shape) if flat else t
 
 
+def template_mirror_error(smpl_params: dict) -> float:
+    """Max rest-pose mirror residual of the LSP-14 eval joints (meters).
+
+    Every label-space flip in the stack — `flip_pose` (theta GT), the
+    trainer's j3d/kp2d/vis permutations, `eval.protocol.unflip_joints3d` —
+    assumes the body template is bilaterally symmetric under LSP_FLIP_MAP
+    (real SMPL is, to ~mm). A template that fails this (e.g. a random
+    synthetic stand-in, measured 1.2 m max here) makes mirrored supervision
+    targets UNREACHABLE by the decoder: flip augmentation then teaches
+    contradictions, which round-5 measured as a 461 mm flipped-branch eval
+    on a model whose direct branch scored 56 mm. Callers gate flip features
+    on this diagnostic (train.trainer.gate_flip_aug).
+
+    One jitted call — never run SMPL math eagerly on the tunneled device.
+    """
+    import numpy as np
+
+    from human_3d_reconstruction_tpu.data.skeleton import LSP_FLIP_MAP
+    from human_3d_reconstruction_tpu.smpl.forward import smpl_forward
+
+    @jax.jit
+    def _rest_eval_joints():
+        out = smpl_forward(
+            smpl_params, jnp.zeros((1, 72)), jnp.zeros((1, 10))
+        )
+        return out.eval_joints[0, :14]
+
+    j = np.asarray(_rest_eval_joints())
+    j = j - j.mean(axis=0)
+    mirrored = j[np.asarray(LSP_FLIP_MAP)] * np.array([-1.0, 1.0, 1.0], j.dtype)
+    return float(np.abs(mirrored - j).max())
+
+
 def augment_pose(
     theta: jax.Array, rot: jax.Array, flip: jax.Array
 ) -> jax.Array:

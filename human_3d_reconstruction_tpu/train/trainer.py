@@ -102,6 +102,37 @@ class DiscState(flax.struct.PyTreeNode):
     opt_state: Any
 
 
+def gate_flip_aug(config: "TrainConfig", smpl_params: dict, echo=print) -> "TrainConfig":
+    """Disable flip augmentation when the body template cannot mirror.
+
+    Flip aug supervises every flipped sample against LSP_FLIP_MAP-mirrored
+    kp2d/j3d and `flip_pose`-mirrored theta. Those targets are reachable
+    only if the template is bilaterally symmetric (real SMPL: ~mm). On an
+    asymmetric template (the in-image synthetic stand-in: 1.2 m max
+    residual) flip aug actively teaches contradictions — round-5 measured
+    the damage as a 461 mm flipped-branch eval next to a 56 mm direct
+    branch, with 50% of training batches spent on unreachable targets.
+
+    Called once at setup (host-side, static): the returned config is what
+    the jitted train step closes over, so nothing data-dependent enters
+    the graph. The 3 cm bar passes real SMPL with margin and fails any
+    template whose limbs differ between sides.
+    """
+    if not config.aug_flip:
+        return config
+    from human_3d_reconstruction_tpu.smpl.pose_aug import template_mirror_error
+
+    err = template_mirror_error(smpl_params)
+    if err <= 0.03:
+        return config
+    echo(
+        f"flip aug DISABLED: template mirror residual {err:.3f} m > 0.03 m "
+        "(asymmetric body template; mirrored GT would be unreachable — "
+        "see smpl/pose_aug.py::template_mirror_error)"
+    )
+    return dataclasses.replace(config, aug_flip=False)
+
+
 def create_states(
     config: TrainConfig, rng: jax.Array, smpl_params: dict, mean_params=None
 ) -> tuple[GenState, DiscState, HMRModel, SMPLDiscriminator, optax.GradientTransformation, optax.GradientTransformation]:

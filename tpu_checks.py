@@ -271,6 +271,13 @@ def main() -> None:
         axis=-1,
     )
     results["pose_aug_invariance_m"] = float(np.abs(jr - expect).max())
+    # Diagnostic (no bar): bilateral mirror residual of this template's
+    # eval joints. Flip features require ~0 (real SMPL); the synthetic
+    # stand-in measures ~1.2 m, which is why training auto-gates flip aug
+    # (train/trainer.py::gate_flip_aug, round-5 finding).
+    from human_3d_reconstruction_tpu.smpl.pose_aug import template_mirror_error
+
+    results["template_mirror_error_m"] = template_mirror_error(raw)
 
     _new_checks(results, smpl_model, raw, rng)
     _finish(results)
