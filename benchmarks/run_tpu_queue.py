@@ -205,6 +205,27 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--rot_rep", "rot6d",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_rot6d")], False,
     ),
+    # r5 flip-fix payoff: the SAME 40k recipe after gate_flip_aug (flips
+    # were supervising unreachable mirror targets on the asymmetric
+    # template — see the round-5 flip finding). Identical rng streams
+    # except flips=0, device-bank feed; its log vs gen_40k's log IS the
+    # flip-damage measurement at every eval step, and its checkpoint is a
+    # candidate headline. Run via `--only gen_noflip_40k,gen_noflip_eval`.
+    (
+        "gen_noflip_40k", 10800,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
+         "--device_bank", "--save_checkpoint", "--export_val", "--resume",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r5_noflip")], False,
+    ),
+    (
+        "gen_noflip_eval", 3600,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "ckpt"),
+         "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "val" / "index.npz"),
+         "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "trained_eval_report_r5_noflip.json")],
+        False,
+    ),
     # Hardened mesh-protocol run (queue item 5) — last: the DELTA-vs-blobs
     # story needs the blob run first anyway. r5: 12k steps (not 40k) so it
     # fits the remaining round wall-clock; the blob trajectory at the same
