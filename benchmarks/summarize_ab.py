@@ -23,9 +23,16 @@ from pathlib import Path
 RESULTS = Path(__file__).resolve().parent / "results"
 
 # (label, results subdir, what differs from baseline)
+#
+# Two baselines, because the flip-gate fix landed mid-queue: gen_40k and
+# gen_kp_8k trained WITH the (broken, pre-fix) flip aug — they compare
+# against each other; every arm launched after the fix trains with flips
+# auto-gated OFF and compares against gen_noflip_40k's log at the same
+# step (same recipe/seeds, flips=0 the only difference).
 ARMS: list[tuple[str, str, str]] = [
-    ("baseline (aa + adversarial + SMPL GT)", "gen_r4_ckpt", "—"),
-    ("kp heatmap head", "gen_r4_kp", "+kp_head, +loss_weights.kp_heatmap"),
+    ("baseline PRE-FIX (flip aug on)", "gen_r4_ckpt", "—"),
+    ("kp heatmap head (pre-fix)", "gen_r4_kp", "+kp_head, +loss_weights.kp_heatmap"),
+    ("baseline no-flip (post-fix)", "gen_r5_noflip", "gate_flip_aug active"),
     ("GMM pose prior (disc-free)", "gen_r4_prior", "--no_adversarial --pose_prior"),
     ("keypoints-only (no SMPL GT)", "gen_r4_nogt", "--no_smpl_gt"),
     ("SPIN in-graph pseudo-GT", "gen_r4_spin", "--no_smpl_gt --spin_steps 10"),
