@@ -310,9 +310,16 @@ def main() -> None:
         ones_d = jnp.ones((args.batch,), jnp.float32)
         has_smpl_d = jnp.zeros_like(ones_d) if args.no_smpl_gt else ones_d
 
+        # The bank MUST be a jit argument, not a closure capture: closed-over
+        # concrete arrays lower as computation constants, and this platform's
+        # remote-compile transport ships constants WITH the compile request —
+        # a 1.6 GB bank breaks the HTTP pipe (r5, observed twice: both
+        # device_bank arms died at the first gather with
+        # UNAVAILABLE .../remote_compile: Broken pipe). As an argument it is
+        # just a shape in the request and stays HBM-resident between calls.
         @jax.jit
-        def gather_batch(idx):
-            b = {k: jnp.take(v, idx, axis=0) for k, v in dev_bank.items()}
+        def gather_batch(bank_d, idx):
+            b = {k: jnp.take(v, idx, axis=0) for k, v in bank_d.items()}
             b["has_3d"] = ones_d
             b["has_smpl"] = has_smpl_d
             return b
@@ -323,7 +330,7 @@ def main() -> None:
                 idx = jnp.asarray(
                     rng_b.integers(0, args.train_size, args.batch)
                 )
-                g = gather_batch(idx)
+                g = gather_batch(dev_bank, idx)
                 for _ in range(args.echo):
                     yield g
 
