@@ -205,37 +205,44 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--rot_rep", "rot6d",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_rot6d")], False,
     ),
+    # Hardened mesh-protocol run (queue item 5; VERDICT r4 next-item 4).
+    # Runs BEFORE the noflip re-earn: the judge's list names it explicitly
+    # and its delta-vs-blobs story reads off gen_40k's log (already on
+    # disk). 12k steps (not 40k) so it fits the remaining round wall-clock.
+    # Timeout is realistic-x2 (bank render + compile + 12k device-bank
+    # steps measured ~45-60 min), NOT worst-case: the runner's --deadline
+    # gate skips any item whose TIMEOUT would cross the driver handover,
+    # so padded timeouts turn into skipped science.
+    (
+        "gen_mesh_12k", 7200,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "12000", "--eval_every", "2000", *GEN_COMMON, "--device_bank",
+         "--protocol", "mesh", "--save_checkpoint", "--export_val",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_mesh")], False,
+    ),
     # r5 flip-fix payoff: the SAME 40k recipe after gate_flip_aug (flips
     # were supervising unreachable mirror targets on the asymmetric
     # template — see the round-5 flip finding). Identical rng streams
     # except flips=0, device-bank feed; its log vs gen_40k's log IS the
     # flip-damage measurement at every eval step, and its checkpoint is a
     # candidate headline. Run via `--only gen_noflip_40k,gen_noflip_eval`.
+    # Timeout realistic-x2 (device-bank stepping is ~35 ms/step at B=64;
+    # the run checkpoints every 2000 steps and --resume makes a timeout
+    # truncation lose at most one eval interval).
     (
-        "gen_noflip_40k", 10800,
+        "gen_noflip_40k", 7200,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
          "--device_bank", "--save_checkpoint", "--export_val", "--resume",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r5_noflip")], False,
     ),
     (
-        "gen_noflip_eval", 3600,
+        "gen_noflip_eval", 2700,
         [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
          "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "ckpt"),
          "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "val" / "index.npz"),
          "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "trained_eval_report_r5_noflip.json")],
         False,
-    ),
-    # Hardened mesh-protocol run (queue item 5) — last: the DELTA-vs-blobs
-    # story needs the blob run first anyway. r5: 12k steps (not 40k) so it
-    # fits the remaining round wall-clock; the blob trajectory at the same
-    # step count is read off gen_40k's log for the apples-to-apples delta.
-    (
-        "gen_mesh_12k", 14400,
-        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "12000", "--eval_every", "2000", *GEN_COMMON, "--device_bank",
-         "--protocol", "mesh", "--save_checkpoint", "--export_val",
-         "--out", str(REPO / "benchmarks" / "results" / "gen_r4_mesh")], False,
     ),
 ]
 
