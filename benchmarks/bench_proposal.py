@@ -32,6 +32,7 @@ import argparse
 import json
 import sys
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -77,6 +78,10 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=90.0)
     ap.add_argument("--split", action="store_true",
                     help="A/B arm: split_merged=True in the proposer")
+    ap.add_argument("--ab", action="store_true",
+                    help="run BOTH proposer variants on the SAME rendered "
+                    "frames (the clean split_merged A/B; separate --split "
+                    "runs draw different scenes — see the seeding note)")
     ap.add_argument("--force_cpu", action="store_true")
     args = ap.parse_args()
 
@@ -154,87 +159,127 @@ def main() -> None:
         truth = np.concatenate([centers, scales[:, None]], axis=1)
         return base, truth
 
-    rows = []
+    def score_scene(truth, boxes, n):
+        """Greedy GT->proposal match, best IoU first.
+
+        Returns (hits, false_pos, matched_ious, merged_misses) for one scene.
+        """
+        pairs = sorted(
+            (
+                (box_iou(t, b), ti, bi)
+                for ti, t in enumerate(truth)
+                for bi, b in enumerate(boxes)
+            ),
+            reverse=True,
+        )
+        gt_hit: dict[int, int] = {}
+        used: set[int] = set()
+        ious: list[float] = []
+        for iou, ti, bi in pairs:
+            if ti in gt_hit or bi in used:
+                continue
+            ctr_ok = (
+                np.linalg.norm(boxes[bi, :2] - truth[ti, :2])
+                < 0.5 * truth[ti, 2]
+            )
+            if iou >= args.iou or ctr_ok:
+                gt_hit[ti] = bi
+                used.add(bi)
+                ious.append(iou)
+        # Merge: an UNUSED-for-this-GT proposal can still cover a
+        # missed GT; count missed GTs whose center lies inside some
+        # matched proposal's box (two people -> one box).
+        merges = 0
+        for ti in range(n):
+            if ti in gt_hit:
+                continue
+            for bi in used:
+                if (
+                    np.abs(truth[ti, :2] - boxes[bi, :2])
+                    < boxes[bi, 2] / 2
+                ).all():
+                    merges += 1
+                    break
+        return len(gt_hit), len(boxes) - len(used), ious, merges
+
+    # --ab scores both variants on the SAME frames; otherwise one arm.
+    variants = (
+        [("base", False), ("split", True)] if args.ab
+        else [("split" if args.split else "base", args.split)]
+    )
+    rows = {label: [] for label, _ in variants}
     for regime, sep in regimes.items():
         for n in bodies:
-            rng = np.random.default_rng(hash((regime, n)) % 2**32)
-            tp = fp = fn = merges = 0
-            ious: list[float] = []
+            # Deterministic cell seed. NOT builtin hash(): string hashing
+            # is salted per process (PYTHONHASHSEED), which made separate
+            # baseline/--split runs draw DIFFERENT scenes — the first
+            # on-chip "A/B" measured scene noise (per-cell recall swings
+            # of ±0.1 at 8 scenes/cell), not the split effect.
+            rng = np.random.default_rng(
+                zlib.crc32(f"{regime}/{n}".encode())
+            )
+            acc = {
+                label: {"tp": 0, "fp": 0, "fn": 0, "merges": 0, "ious": []}
+                for label, _ in variants
+            }
             t0 = time.time()
             for s in range(args.scenes):
                 frame, truth = composite_scene(rng, n, sep, key=1000 + s)
-                boxes = propose_person_boxes_np(
-                    frame, max_people=max(8, n + 2),
-                    split_merged=args.split,
-                )
-                # Greedy GT->proposal match, best IoU first.
-                pairs = sorted(
-                    (
-                        (box_iou(t, b), ti, bi)
-                        for ti, t in enumerate(truth)
-                        for bi, b in enumerate(boxes)
-                    ),
-                    reverse=True,
-                )
-                gt_hit: dict[int, int] = {}
-                used: set[int] = set()
-                for iou, ti, bi in pairs:
-                    if ti in gt_hit or bi in used:
-                        continue
-                    ctr_ok = (
-                        np.linalg.norm(boxes[bi, :2] - truth[ti, :2])
-                        < 0.5 * truth[ti, 2]
+                for label, split in variants:
+                    boxes = propose_person_boxes_np(
+                        frame, max_people=max(8, n + 2),
+                        split_merged=split,
                     )
-                    if iou >= args.iou or ctr_ok:
-                        gt_hit[ti] = bi
-                        used.add(bi)
-                        ious.append(iou)
-                tp += len(gt_hit)
-                fn += n - len(gt_hit)
-                fp += len(boxes) - len(used)
-                # Merge: an UNUSED-for-this-GT proposal can still cover a
-                # missed GT; count missed GTs whose center lies inside some
-                # matched proposal's box (two people -> one box).
-                for ti in range(n):
-                    if ti in gt_hit:
-                        continue
-                    for bi in used:
-                        if (
-                            np.abs(truth[ti, :2] - boxes[bi, :2])
-                            < boxes[bi, 2] / 2
-                        ).all():
-                            merges += 1
-                            break
-            row = {
-                "regime": regime,
-                "n_bodies": n,
-                "scenes": args.scenes,
-                "recall": round(tp / max(tp + fn, 1), 3),
-                "precision": round(tp / max(tp + fp, 1), 3),
-                "mean_iou": round(float(np.mean(ious)) if ious else 0.0, 3),
-                "merged_misses": merges,
-                "sec": round(time.time() - t0, 1),
-            }
-            rows.append(row)
-            print(json.dumps(row), flush=True)
-            log(f"{regime} n={n}: R={row['recall']} P={row['precision']} "
-                f"IoU={row['mean_iou']} merges={merges}")
+                    hits, fp_s, ious_s, merges_s = score_scene(truth, boxes, n)
+                    a = acc[label]
+                    a["tp"] += hits
+                    a["fn"] += n - hits
+                    a["fp"] += fp_s
+                    a["merges"] += merges_s
+                    a["ious"].extend(ious_s)
+            for label, _ in variants:
+                a = acc[label]
+                row = {
+                    "regime": regime,
+                    "n_bodies": n,
+                    "scenes": args.scenes,
+                    "recall": round(a["tp"] / max(a["tp"] + a["fn"], 1), 3),
+                    "precision": round(a["tp"] / max(a["tp"] + a["fp"], 1), 3),
+                    "mean_iou": round(
+                        float(np.mean(a["ious"])) if a["ious"] else 0.0, 3
+                    ),
+                    "merged_misses": a["merges"],
+                    "sec": round(time.time() - t0, 1),
+                }
+                if args.ab:
+                    row["variant"] = label
+                rows[label].append(row)
+                print(json.dumps(row), flush=True)
+                log(f"{regime} n={n} [{label}]: R={row['recall']} "
+                    f"P={row['precision']} IoU={row['mean_iou']} "
+                    f"merges={a['merges']}")
 
-    total_tp = sum(int(r["recall"] * r["n_bodies"] * r["scenes"]) for r in rows)
-    summary = {
-        "summary": True,
-        "recall_overall": round(
-            float(np.mean([r["recall"] for r in rows])), 3
-        ),
-        "precision_overall": round(
-            float(np.mean([r["precision"] for r in rows])), 3
-        ),
-        "worst_cell": min(rows, key=lambda r: r["recall"])["regime"]
-        + "/n="
-        + str(min(rows, key=lambda r: r["recall"])["n_bodies"]),
-        "total_matched": total_tp,
-    }
-    print(json.dumps(summary), flush=True)
+    for label, _ in variants:
+        vrows = rows[label]
+        total_tp = sum(
+            int(r["recall"] * r["n_bodies"] * r["scenes"]) for r in vrows
+        )
+        summary = {
+            "summary": True,
+            "recall_overall": round(
+                float(np.mean([r["recall"] for r in vrows])), 3
+            ),
+            "precision_overall": round(
+                float(np.mean([r["precision"] for r in vrows])), 3
+            ),
+            "worst_cell": min(vrows, key=lambda r: r["recall"])["regime"]
+            + "/n="
+            + str(min(vrows, key=lambda r: r["recall"])["n_bodies"]),
+            "total_matched": total_tp,
+        }
+        if args.ab:
+            summary["variant"] = label
+        print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -205,39 +205,54 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--rot_rep", "rot6d",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_rot6d")], False,
     ),
-    # Hardened mesh-protocol run (queue item 5; VERDICT r4 next-item 4).
-    # Runs BEFORE the noflip re-earn: the judge's list names it explicitly
-    # and its delta-vs-blobs story reads off gen_40k's log (already on
-    # disk). 12k steps (not 40k) so it fits the remaining round wall-clock.
-    # Timeout is realistic-x2 (bank render + compile + 12k device-bank
-    # steps measured ~45-60 min), NOT worst-case: the runner's --deadline
-    # gate skips any item whose TIMEOUT would cross the driver handover,
-    # so padded timeouts turn into skipped science.
+    # r5 flip-fix payoff + the POST-FIX BASELINE: the same recipe with
+    # flips auto-gated off (gate_flip_aug). summarize_ab.py compares every
+    # post-fix arm (prior/nogt/spin/rot6d — all trained flips-off) against
+    # THIS run's log at the same step, so it must land before the window
+    # closes; 16k steps (covers the 8k A/B point twice over) sized to the
+    # remaining round wall-clock. Its log vs gen_40k's log is also the
+    # flip-damage measurement at every eval step. gen_noflip_ext extends
+    # it by --resume if time remains.
     (
-        "gen_mesh_12k", 7200,
+        "gen_noflip_16k", 3600,
+        [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
+         "--steps", "16000", "--eval_every", "2000", *GEN_COMMON,
+         "--device_bank", "--save_checkpoint", "--export_val", "--resume",
+         "--out", str(REPO / "benchmarks" / "results" / "gen_r5_noflip")], False,
+    ),
+    # Hardened mesh-protocol run (queue item 5; VERDICT r4 next-item 4).
+    # 12k steps (not 40k) so it fits the remaining round wall-clock; the
+    # blob trajectory at the same step count is read off gen_40k's log for
+    # the apples-to-apples delta. Timeout is realistic-x1.5 (bank render +
+    # compile + 12k device-bank steps), NOT worst-case: the runner's
+    # --deadline gate skips any item whose TIMEOUT would cross the driver
+    # handover, so padded timeouts turn into skipped science.
+    (
+        "gen_mesh_12k", 5400,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "12000", "--eval_every", "2000", *GEN_COMMON, "--device_bank",
          "--protocol", "mesh", "--save_checkpoint", "--export_val",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_mesh")], False,
     ),
-    # r5 flip-fix payoff: the SAME 40k recipe after gate_flip_aug (flips
-    # were supervising unreachable mirror targets on the asymmetric
-    # template — see the round-5 flip finding). Identical rng streams
-    # except flips=0, device-bank feed; its log vs gen_40k's log IS the
-    # flip-damage measurement at every eval step, and its checkpoint is a
-    # candidate headline. Run via `--only gen_noflip_40k,gen_noflip_eval`.
-    # Timeout realistic-x2 (device-bank stepping is ~35 ms/step at B=64;
-    # the run checkpoints every 2000 steps and --resume makes a timeout
-    # truncation lose at most one eval interval).
+    # Clean split_merged A/B: both proposer variants on the SAME rendered
+    # frames in one process. The separate proposal / proposal_split runs
+    # turned out to draw DIFFERENT scenes (builtin hash() is salted per
+    # process), so their per-cell deltas were scene noise.
     (
-        "gen_noflip_40k", 7200,
+        "proposal_ab", 1500,
+        [PY, str(REPO / "benchmarks" / "bench_proposal.py"), "--ab"], False,
+    ),
+    # Optional extension of the no-flip run toward the full re-earn
+    # (restores the 16k checkpoint via --resume and continues).
+    (
+        "gen_noflip_ext", 2700,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
+         "--steps", "28000", "--eval_every", "2000", *GEN_COMMON,
          "--device_bank", "--save_checkpoint", "--export_val", "--resume",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r5_noflip")], False,
     ),
     (
-        "gen_noflip_eval", 2700,
+        "gen_noflip_eval", 1800,
         [PY, "-m", "human_3d_reconstruction_tpu.cli.eval", "h36m_eval",
          "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "ckpt"),
          "--eval.index_path=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "val" / "index.npz"),
