@@ -365,6 +365,10 @@ def main() -> None:
                 sys.exit(3)
         if proc.returncode == 0:
             state["done"].append(name)
+            # A later success supersedes earlier failures of the same item
+            # (e.g. the device-bank arms that died pre-fix): drop the stale
+            # failed entries so state.json reads as the final outcome.
+            state["failed"] = [f for f in state["failed"] if f.get("name") != name]
             print(f"[queue] {name}: OK in {dt / 60:.1f} min", file=sys.stderr)
         else:
             state["failed"].append({"name": name, "rc": proc.returncode, "minutes": round(dt / 60, 1)})
