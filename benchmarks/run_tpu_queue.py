@@ -245,9 +245,9 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # Optional extension of the no-flip run toward the full re-earn
     # (restores the 16k checkpoint via --resume and continues).
     (
-        "gen_noflip_ext", 2700,
+        "gen_noflip_ext", 3600,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
-         "--steps", "28000", "--eval_every", "2000", *GEN_COMMON,
+         "--steps", "40000", "--eval_every", "2000", *GEN_COMMON,
          "--device_bank", "--save_checkpoint", "--export_val", "--resume",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r5_noflip")], False,
     ),
