@@ -174,7 +174,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # adversarial trajectory is already on disk from the r3 runs and the
     # gen_40k log covers the same recipe's early steps.
     (
-        "gen_prior_8k", 6300,
+        "gen_prior_8k", 2700,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--no_adversarial", "--pose_prior",
@@ -183,14 +183,14 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # SPIN keypoints-only A/B (queue item 9c): both arms drop the SMPL
     # param GT; the spin arm adds the in-graph SMPLify pseudo-GT.
     (
-        "gen_nogt_8k", 6300,
+        "gen_nogt_8k", 2700,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--no_smpl_gt",
          "--out", str(REPO / "benchmarks" / "results" / "gen_r4_nogt")], False,
     ),
     (
-        "gen_spin_8k", 6300,
+        "gen_spin_8k", 2700,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--no_smpl_gt", "--spin_steps", "10",
@@ -199,7 +199,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # rot6d vs axis-angle IEF stream (queue item 9b): the aa arm is the
     # gen_40k trajectory's first 8k steps; one rot6d arm suffices.
     (
-        "gen_rot6d_8k", 6300,
+        "gen_rot6d_8k", 2700,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--rot_rep", "rot6d",
@@ -228,7 +228,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # --deadline gate skips any item whose TIMEOUT would cross the driver
     # handover, so padded timeouts turn into skipped science.
     (
-        "gen_mesh_12k", 5400,
+        "gen_mesh_12k", 3600,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "12000", "--eval_every", "2000", *GEN_COMMON, "--device_bank",
          "--protocol", "mesh", "--save_checkpoint", "--export_val",
