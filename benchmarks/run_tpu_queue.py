@@ -259,6 +259,16 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
          "--eval.report_path=" + str(REPO / "benchmarks" / "results" / "trained_eval_report_r5_noflip.json")],
         False,
     ),
+    # Demo overlay from the round-5 headline (no-flip 40k) checkpoint —
+    # completes the train -> eval -> demo user story on the new artifact.
+    (
+        "noflip_demo", 1800,
+        [PY, "-m", "human_3d_reconstruction_tpu.cli.demo", "single_image",
+         "--image=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "val" / "images" / "val_00000.png"),
+         "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "ckpt"),
+         "--out=" + str(REPO / "benchmarks" / "results" / "demo_overlay_r5.png")],
+        False,
+    ),
 ]
 
 
