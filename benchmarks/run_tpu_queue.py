@@ -174,7 +174,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # adversarial trajectory is already on disk from the r3 runs and the
     # gen_40k log covers the same recipe's early steps.
     (
-        "gen_prior_8k", 2700,
+        "gen_prior_8k", 1800,
         [PY, str(REPO / "benchmarks" / "bench_generalization.py"),
          "--steps", "8000", "--eval_every", "1000", *GEN_COMMON, "--device_bank",
          "--no_adversarial", "--pose_prior",
@@ -262,7 +262,7 @@ ITEMS: list[tuple[str, int, list[str], bool]] = [
     # Demo overlay from the round-5 headline (no-flip 40k) checkpoint —
     # completes the train -> eval -> demo user story on the new artifact.
     (
-        "noflip_demo", 1800,
+        "noflip_demo", 900,
         [PY, "-m", "human_3d_reconstruction_tpu.cli.demo", "single_image",
          "--image=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "val" / "images" / "val_00000.png"),
          "--checkpoint=" + str(REPO / "benchmarks" / "results" / "gen_r5_noflip" / "ckpt"),
